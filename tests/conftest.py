@@ -16,7 +16,19 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# f64 on the CPU test backend so LCA parity tests are bit-exact vs the
+# reference's Python-float semantics. Device code must stay dtype-explicit.
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# NOTE: `import pytest` already imports jax (jaxtyping's pytest plugin), so
+# env vars alone are too late for jax.config defaults. Backends initialize
+# lazily, so config.update still takes effect here.
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
