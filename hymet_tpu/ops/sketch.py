@@ -1,0 +1,258 @@
+"""MinHash sketching + containment screen on device.
+
+Replaces ``mash screen`` (reference ``scripts/mash.sh:14``). The screen is
+formulated the way Mash itself works — but as streaming TPU kernels:
+
+1. DB build time: the union of all reference sketch hashes is de-duplicated
+   and sorted into a flat array [F] (``SketchDB.flat_index``), with a
+   per-reference index matrix [R, s] pointing into it.
+2. Stream time: each batch of query k-mer hashes is binary-searched into
+   the flat array (vectorized lower-bound over (hi, lo) uint32 pairs —
+   TPU has no 64-bit ints, so 64-bit hashes live as limb pairs) and
+   scatter-adds occurrence counts.
+3. Score time: per reference, gather its hash counts; shared = #hashes with
+   count>0; identity = 1 + ln(2c/(1+c))/k (Mash's containment->identity
+   estimate); median multiplicity = upper median of shared-hash counts.
+
+Multi-device: references (and their flat hash arrays) shard across the
+``db`` mesh axis; query hash batches are replicated; scores concatenate.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hymet_tpu.io.sketchdb import PAD_HASH, SketchDB
+from hymet_tpu.ops.hashing import kmer_hashes_jax
+
+
+def split64(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """uint64 -> (hi, lo) uint32 host-side."""
+    return (
+        (x >> np.uint64(32)).astype(np.uint32),
+        (x & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+    )
+
+
+def _less64(a_hi, a_lo, b_hi, b_lo):
+    return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def screen_count_batch(
+    db_hi: jax.Array,  # [F] uint32 — sorted-unique flat DB hashes (hi limb)
+    db_lo: jax.Array,  # [F] uint32
+    counts: jax.Array,  # [F] int32 — running occurrence counts (donated)
+    q_hi: jax.Array,  # [N] uint32 — query k-mer hashes
+    q_lo: jax.Array,  # [N] uint32
+    q_valid: jax.Array,  # [N] bool
+) -> jax.Array:
+    """One streaming update: binary-search every query hash in the flat DB
+    array and add its occurrence to `counts`."""
+    F = db_hi.shape[0]
+    steps = max(1, int(math.ceil(math.log2(max(F, 2)))))
+
+    lo = jnp.zeros_like(q_hi, dtype=jnp.int32)
+    hi = jnp.full_like(lo, F)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        m_hi = db_hi[mid]
+        m_lo = db_lo[mid]
+        less = _less64(m_hi, m_lo, q_hi, q_lo)
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    pos = jnp.clip(lo, 0, F - 1)
+    found = (db_hi[pos] == q_hi) & (db_lo[pos] == q_lo) & q_valid & (lo < F)
+    return counts.at[pos].add(found.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def screen_scores(
+    counts: jax.Array,  # [F] int32
+    ref_idx: jax.Array,  # [R, s] int32 into counts (-1 pad)
+    n_hashes: jax.Array,  # [R] int32
+    k: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-reference (identity, shared, median_multiplicity)."""
+    valid = ref_idx >= 0
+    cnt = jnp.where(valid, counts[jnp.where(valid, ref_idx, 0)], 0)  # [R, s]
+    hit = cnt > 0
+    shared = jnp.sum(hit, axis=1).astype(jnp.int32)  # [R]
+
+    denom = jnp.maximum(n_hashes, 1).astype(jnp.float32)
+    c = shared.astype(jnp.float32) / denom
+    identity = jnp.where(
+        c > 0, 1.0 + jnp.log(2.0 * c / (1.0 + c)) / float(k), 0.0
+    )
+    identity = jnp.maximum(identity, 0.0)
+
+    # upper median of the shared hashes' multiplicities: sort counts with
+    # non-shared pushed to +inf, take element at index shared//2
+    big = jnp.int32(2**30)
+    sortable = jnp.where(hit, cnt, big)
+    ordered = jnp.sort(sortable, axis=1)
+    mid = jnp.clip(shared // 2, 0, ref_idx.shape[1] - 1)
+    median = jnp.take_along_axis(ordered, mid[:, None], axis=1)[:, 0]
+    median = jnp.where(shared > 0, median, 0)
+    return identity, shared, median
+
+
+def binom_sf(x: int, n: int, p: float) -> float:
+    """P(X >= x) for X ~ Binomial(n, p); exact log-space sum (n <= a few
+    thousand — the sketch size)."""
+    if x <= 0:
+        return 1.0
+    if p <= 0.0:
+        return 0.0
+    if p >= 1.0:
+        return 1.0
+    lp = math.log(p)
+    lq = math.log1p(-p)
+    total = -math.inf
+    lgn = math.lgamma(n + 1)
+    for i in range(x, n + 1):
+        lt = lgn - math.lgamma(i + 1) - math.lgamma(n - i + 1) + i * lp + (n - i) * lq
+        total = lt if total == -math.inf else max(total, lt) + math.log1p(
+            math.exp(min(total, lt) - max(total, lt))
+        )
+    return min(1.0, math.exp(total))
+
+
+class ScreenEngine:
+    """Streaming mash-screen over one SketchDB (single device or one
+    db-shard). Feed query k-mer hash batches; finalize to per-ref rows."""
+
+    def __init__(self, db: SketchDB):
+        self.db = db
+        flat, ref_idx = db.flat_index()
+        hi, lo = split64(flat)
+        self.db_hi = jnp.asarray(hi)
+        self.db_lo = jnp.asarray(lo)
+        self.counts = jnp.zeros(flat.shape[0], dtype=jnp.int32)
+        self.ref_idx = jnp.asarray(ref_idx)
+        self.n_hashes = jnp.asarray(db.n_hashes)
+        self.total_query_kmers = 0
+
+    def update(self, q_hi, q_lo, q_valid) -> None:
+        if self.db_hi.shape[0] == 0:  # empty DB: nothing to count
+            self.total_query_kmers += int(np.sum(np.asarray(q_valid)))
+            return
+        self.counts = screen_count_batch(
+            self.db_hi, self.db_lo, self.counts, q_hi.ravel(), q_lo.ravel(), q_valid.ravel()
+        )
+        self.total_query_kmers += int(np.sum(np.asarray(q_valid)))
+
+    def update_codes(self, codes: jax.Array) -> None:
+        """Hash a [B, L] uint8 code batch on device and stream it in."""
+        hi, lo, valid = kmer_hashes_jax(codes, self.db.k)
+        self.update(hi, lo, valid)
+
+    def finalize(self) -> "ScreenResult":
+        identity, shared, median = screen_scores(
+            self.counts, self.ref_idx, self.n_hashes, self.db.k
+        )
+        return ScreenResult(
+            db=self.db,
+            identity=np.asarray(identity),
+            shared=np.asarray(shared),
+            median=np.asarray(median),
+            total_query_kmers=self.total_query_kmers,
+        )
+
+
+class ScreenResult:
+    def __init__(self, db, identity, shared, median, total_query_kmers):
+        self.db = db
+        self.identity = identity
+        self.shared = shared
+        self.median = median
+        self.total_query_kmers = total_query_kmers
+
+    def pvalues(self) -> np.ndarray:
+        """Null-model p-values per reference, Mash-style: probability of
+        observing >= shared sketch hashes in a random query k-mer set of
+        this size (binomial over the sketch).
+
+        Approximation note: we use the total valid query k-mer count where
+        Mash estimates distinct k-mers — an upper bound that makes p-values
+        slightly conservative; downstream only filters at p <= 0.9
+        (``mash screen -v 0.9``), which this never disturbs in practice.
+        """
+        kmer_space = float(4 ** self.db.k)
+        r_null = 1.0 / (1.0 + kmer_space / max(self.total_query_kmers, 1))
+        out = np.ones(self.db.n_refs)
+        for i in range(self.db.n_refs):
+            out[i] = binom_sf(
+                int(self.shared[i]), int(self.db.n_hashes[i]), r_null
+            )
+        return out
+
+    def rows(self) -> list:
+        """mash-screen-format rows: (identity, shared/total, median, pvalue,
+        ref_id, comment) — the 6 columns of screen.tab
+        (consumed at ``scripts/mash.sh:15-16`` and
+        ``scripts/limit_candidates.py:97-122``)."""
+        pv = self.pvalues()
+        out = []
+        for i in range(self.db.n_refs):
+            out.append(
+                (
+                    float(self.identity[i]),
+                    f"{int(self.shared[i])}/{int(self.db.n_hashes[i])}",
+                    int(self.median[i]),
+                    pv[i],
+                    self.db.names[i],
+                    self.db.comments[i] if self.db.comments else "",
+                )
+            )
+        return out
+
+
+# ----------------------------------------------------------------------
+# device-side bottom-s sketching (for DB builds / query sketch mode)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s"))
+def sketch_batch(
+    codes: jax.Array, k: int, s: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Bottom-s distinct-hash sketch per row of a [B, L] uint8 code batch.
+
+    Returns (hi [B, s], lo [B, s], n [B]). Pure device path: hash all
+    windows, lexicographic 2-key sort, mark duplicates, 3-key re-sort to
+    push duplicates/invalid to the end, slice the first s.
+    """
+    hi, lo, valid = kmer_hashes_jax(codes, k)
+    pad = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(valid, hi, pad)
+    lo = jnp.where(valid, lo, pad)
+    if hi.shape[1] < s:  # fewer windows than sketch size: pad columns
+        extra = s - hi.shape[1]
+        fill = jnp.full((hi.shape[0], extra), pad, dtype=jnp.uint32)
+        hi = jnp.concatenate([hi, fill], axis=1)
+        lo = jnp.concatenate([lo, fill], axis=1)
+    hi_s, lo_s = jax.lax.sort((hi, lo), dimension=1, num_keys=2)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((hi_s.shape[0], 1), dtype=jnp.uint32),
+            ((hi_s[:, 1:] == hi_s[:, :-1]) & (lo_s[:, 1:] == lo_s[:, :-1])).astype(
+                jnp.uint32
+            ),
+        ],
+        axis=1,
+    )
+    # invalid (PAD) entries also get dup=1 so they sort last
+    dup = jnp.where((hi_s == pad) & (lo_s == pad), jnp.uint32(1), dup)
+    dup_s, hi_u, lo_u = jax.lax.sort((dup, hi_s, lo_s), dimension=1, num_keys=3)
+    n = jnp.sum(dup_s == 0, axis=1).astype(jnp.int32)
+    n = jnp.minimum(n, s)
+    return hi_u[:, :s], lo_u[:, :s], n

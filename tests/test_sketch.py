@@ -1,0 +1,160 @@
+"""Sketch engine tests: device screen vs a brute-force host oracle of Mash
+screen semantics; device bottom-s sketching vs host sketching; containment
+identity behavior on contained/mutated sequences."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hymet_tpu.io.fasta import encode_seq
+from hymet_tpu.io.sketchdb import (
+    PAD_HASH,
+    SketchDB,
+    bottom_sketch_from_hashes,
+    build_sketch_db_from_sequences,
+)
+from hymet_tpu.ops.hashing import kmer_hashes_numpy, pack64
+from hymet_tpu.ops.sketch import ScreenEngine, sketch_batch, split64
+
+K = 21
+S = 200
+
+
+_ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _rand_seq(rng, n):
+    return rng.choice(_ACGT, size=n).astype(np.uint8).tobytes()
+
+
+def _mutate(rng, seq, rate):
+    arr = np.frombuffer(seq, dtype=np.uint8).copy()
+    idx = rng.random(len(arr)) < rate
+    arr[idx] = rng.choice(_ACGT, size=int(idx.sum())).astype(np.uint8)
+    return arr.tobytes()
+
+
+@pytest.fixture(scope="module")
+def genomes():
+    rng = np.random.default_rng(11)
+    return {
+        "gA": _rand_seq(rng, 20000),
+        "gB": _rand_seq(rng, 15000),
+        "gC": _rand_seq(rng, 12000),
+    }
+
+
+@pytest.fixture(scope="module")
+def db(genomes):
+    return build_sketch_db_from_sequences(
+        [(n, s) for n, s in genomes.items()], k=K, sketch_size=S
+    )
+
+
+def _host_screen(db: SketchDB, query_seqs):
+    """Brute-force oracle of mash screen: pooled query k-mer multiset vs
+    each reference sketch."""
+    from collections import Counter
+
+    counter = Counter()
+    for seq in query_seqs:
+        for h in kmer_hashes_numpy(encode_seq(seq), db.k):
+            counter[int(h)] += 1
+    out = []
+    for r in range(db.n_refs):
+        sk = db.hashes[r][: db.n_hashes[r]]
+        mults = [counter[int(h)] for h in sk if int(h) in counter]
+        shared = len(mults)
+        c = shared / max(int(db.n_hashes[r]), 1)
+        ident = max(0.0, 1.0 + np.log(2 * c / (1 + c)) / db.k) if c > 0 else 0.0
+        med = sorted(mults)[shared // 2] if shared else 0
+        out.append((ident, shared, med))
+    return out
+
+
+def _stream(db, query_seqs):
+    eng = ScreenEngine(db)
+    for seq in query_seqs:
+        codes = encode_seq(seq)
+        eng.update_codes(jnp.asarray(codes[None, :]))
+    return eng.finalize()
+
+
+def test_screen_exact_containment(db, genomes):
+    res = _stream(db, [genomes["gA"]])
+    i_a = db.names.index("gA")
+    # full containment: identity 1.0, all sketch hashes shared once
+    assert res.identity[i_a] == pytest.approx(1.0, abs=1e-6)
+    assert res.shared[i_a] == db.n_hashes[i_a]
+    assert res.median[i_a] == 1
+    # unrelated genomes: near-zero containment
+    for other in ("gB", "gC"):
+        i = db.names.index(other)
+        assert res.shared[i] <= 2
+
+
+def test_screen_matches_host_oracle(db, genomes):
+    rng = np.random.default_rng(5)
+    queries = [
+        genomes["gA"][:8000],
+        _mutate(rng, genomes["gB"], 0.03),
+        _rand_seq(rng, 5000),
+        genomes["gA"][:8000],  # repeat: multiplicity 2 for its kmers
+    ]
+    res = _stream(db, queries)
+    oracle = _host_screen(db, queries)
+    for r in range(db.n_refs):
+        ident, shared, med = oracle[r]
+        assert res.shared[r] == shared, db.names[r]
+        assert res.identity[r] == pytest.approx(ident, abs=1e-5)
+        assert res.median[r] == med
+
+    pv = res.pvalues()
+    # strong hits are overwhelmingly significant; all p-values valid
+    assert pv[db.names.index("gA")] < 1e-9
+    assert ((pv >= 0) & (pv <= 1)).all()
+
+
+def test_mutated_identity_tracks_formula(db, genomes):
+    """3% point mutations => expected k-mer survival (1-p)^k => containment
+    ~0.52; identity estimate should land near 1-p."""
+    rng = np.random.default_rng(17)
+    res = _stream(db, [_mutate(rng, genomes["gB"], 0.03)])
+    i_b = db.names.index("gB")
+    ident = res.identity[i_b]
+    assert 0.95 < ident < 0.985  # ~0.97 expected
+
+
+def test_device_sketch_matches_host(genomes):
+    seqs = [genomes["gA"][:5000], genomes["gB"][:5000]]
+    codes = np.stack([encode_seq(s) for s in seqs])
+    hi, lo, n = sketch_batch(jnp.asarray(codes), K, S)
+    got = pack64(np.asarray(hi), np.asarray(lo))
+    for i, seq in enumerate(seqs):
+        want, wn = bottom_sketch_from_hashes(
+            kmer_hashes_numpy(encode_seq(seq), K), S
+        )
+        assert int(n[i]) == wn
+        np.testing.assert_array_equal(got[i][: int(n[i])], want[:wn])
+
+
+def test_device_sketch_short_sequence():
+    codes = np.tile(np.array([[0, 1, 2, 3] * 8], dtype=np.uint8), (1, 1))  # 32bp
+    hi, lo, n = sketch_batch(jnp.asarray(codes), K, S)
+    assert int(n[0]) <= 32 - K + 1
+    assert hi.shape == (1, S)
+
+
+def test_sketchdb_save_load(tmp_path, db):
+    p = str(tmp_path / "db.npz")
+    db.save(p)
+    db2 = SketchDB.load(p)
+    assert db2.k == db.k and db2.names == db.names
+    np.testing.assert_array_equal(db2.hashes, db.hashes)
+
+
+def test_sketchdb_shard(db):
+    shards = db.shard(2)
+    assert sum(s.n_refs for s in shards) == db.n_refs
+    assert [n for s in shards for n in s.names] == db.names
