@@ -1,0 +1,146 @@
+"""CAMI profile export: ``classified_sequences.tsv`` -> CAMI profile.
+
+Parity with reference ``tools/hymet2cami.py`` (same parsing, counting,
+ordering, and formatting), with the taxonkit subprocess calls
+(``hymet2cami.py:61-102``) replaced by :class:`TaxonomyDB` lookups.
+"""
+
+from __future__ import annotations
+
+import csv
+from collections import defaultdict
+from typing import Dict, Iterable, List, TextIO, Tuple
+
+from hymet_tpu import CAMI_RANKS, RANK_ALIAS
+from hymet_tpu.taxonomy.db import TaxonomyDB
+
+
+def parse_lineage_cami(lineage: str) -> Dict[str, str]:
+    """``rank:name; ...`` -> {rank: name} over the 7 CAMI ranks
+    (``hymet2cami.py:46-58`` — unknown rank labels fall through to their
+    lowercase selves, so only recognized ranks land)."""
+    out = {rank: "" for rank in CAMI_RANKS}
+    if not lineage:
+        return out
+    for part in lineage.split(";"):
+        part = part.strip()
+        if not part or ":" not in part:
+            continue
+        rk, name = part.split(":", 1)
+        rk = RANK_ALIAS.get(rk.strip().lower(), rk.strip().lower())
+        if rk in out:
+            out[rk] = name.strip()
+    return out
+
+
+def load_classified_records(path: str) -> List[Dict[str, str]]:
+    records: List[Dict[str, str]] = []
+    with open(path, encoding="utf-8", errors="ignore") as fh:
+        reader = csv.DictReader(fh, delimiter="\t")
+        for row in reader:
+            parsed = parse_lineage_cami(row.get("Lineage", ""))
+            if any(parsed.values()):
+                records.append(parsed)
+    return records
+
+
+def accumulate_counts(
+    records: List[Dict[str, str]], name2tid: Dict[str, str]
+) -> Tuple[Dict[str, Dict[str, int]], Dict[str, int], set]:
+    counts: Dict[str, Dict[str, int]] = {rank: defaultdict(int) for rank in CAMI_RANKS}
+    totals = {rank: 0 for rank in CAMI_RANKS}
+    taxids_needed = set()
+    for parsed in records:
+        for rank in CAMI_RANKS:
+            name = parsed.get(rank)
+            if not name:
+                continue
+            tid = name2tid.get(name)
+            if not tid:
+                continue
+            counts[rank][tid] += 1
+            totals[rank] += 1
+            taxids_needed.add(tid)
+    return counts, totals, taxids_needed
+
+
+def emit_cami(
+    out: TextIO,
+    counts: Dict[str, Dict[str, int]],
+    totals: Dict[str, int],
+    taxid2path: Dict[str, Tuple[str, str]],
+    sample_id: str = "sample_0",
+) -> None:
+    """Header + rows, identical formatting to ``hymet2cami.py:134-149``
+    (count-descending order per rank; 6dp percentages)."""
+    out.write("#CAMI Submission for Taxonomic Profiling\n")
+    out.write(
+        "@Version:0.9.1 @Ranks:superkingdom|phylum|class|order|family|genus|species "
+        f"@SampleID:{sample_id}\n"
+    )
+    out.write("@@TAXID RANK TAXPATH TAXPATHSN PERCENTAGE\n")
+    for rank in CAMI_RANKS:
+        total = totals.get(rank, 0)
+        if total <= 0:
+            continue
+        for tid, count in sorted(
+            counts.get(rank, {}).items(), key=lambda kv: kv[1], reverse=True
+        ):
+            path = taxid2path.get(tid)
+            if not path:
+                continue
+            names, ids = path
+            pct = 100.0 * count / total
+            out.write(f"{tid}\t{rank}\t{ids}\t{names}\t{pct:.6f}\n")
+
+
+def classified_to_cami(
+    classified_tsv: str,
+    taxdb: TaxonomyDB,
+    out_path: str,
+    sample_id: str = "sample_0",
+) -> int:
+    """Full conversion; returns the number of lineage records used."""
+    records = load_classified_records(classified_tsv)
+    all_names = {n for parsed in records for n in parsed.values() if n}
+    name2tid = taxdb.batch_name2taxid(all_names)
+    counts, totals, needed = accumulate_counts(records, name2tid)
+    taxid2path: Dict[str, Tuple[str, str]] = {}
+    for tid in needed:
+        ids, names = taxdb.taxpath(tid)
+        taxid2path[tid] = (names, ids)
+    with open(out_path, "w", encoding="utf-8") as f:
+        emit_cami(f, counts, totals, taxid2path, sample_id)
+    return len(records)
+
+
+# ----------------------------------------------------------------------
+# CAMI profile parsing (shared by the evaluator and harness)
+
+
+def parse_cami_profile(path: str) -> List[Dict[str, str]]:
+    """Rows of TAXID/RANK/TAXPATH/TAXPATHSN/PERCENTAGE; tolerant of header
+    variants (used by eval + converters)."""
+    rows: List[Dict[str, str]] = []
+    with open(path, encoding="utf-8", errors="ignore") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#") or line.startswith("@"):
+                continue
+            parts = line.split("\t")
+            if len(parts) < 5:
+                continue
+            try:
+                pct = float(parts[4])
+            except ValueError:
+                continue
+            rows.append(
+                {
+                    "taxid": parts[0].strip(),
+                    "rank": parts[1].strip().lower(),
+                    "taxpath": parts[2].strip(),
+                    "taxpathsn": parts[3].strip(),
+                    "percentage": pct,
+                }
+            )
+    return rows

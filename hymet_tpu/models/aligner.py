@@ -1,0 +1,345 @@
+"""Minimizer seed–chain aligner: the ``minimap2 -x asm10`` replacement.
+
+Produces PAF-compatible records whose block extents (col 11) drive the
+downstream coverage-weighted LCA exactly like minimap2's output does
+(reference ``scripts/minimap2.sh:23`` -> ``classification_cami.py:196-206``).
+
+Pipeline split (TPU-first):
+  device — minimizer extraction ([B, L] batches), double binary search of
+    query minimizers into the sorted index (uint32 limb pairs), anchor
+    expansion to a static [N, max_occ] grid, 4-key lexicographic sort
+    (query, sequence, strand|band, qpos) — all statically shaped;
+  host — segment reduction over the sorted anchor runs (np.reduceat),
+    adjacent-diagonal-band merge (indel drift tolerance), primary /
+    secondary selection, PAF emission.
+
+Chain geometry model: anchors of a colinear alignment share a diagonal
+(rpos - qpos, or rpos + qpos on opposite strands) up to indel drift;
+chains are maximal runs of anchors within merged diagonal bands. Band
+width 2^band_bits (default 2048 bp) with ±1-band merging tolerates ~6 kb
+of cumulative indels — the asm10 regime (<=10% divergence assemblies).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hymet_tpu.io.fasta import encode_seq
+from hymet_tpu.io.minimizer_index import MinimizerIndex
+from hymet_tpu.io.paf import PafRecord
+from hymet_tpu.ops.minimizer import extract_minimizers_jax
+
+_DIAG_OFF = 1 << 28  # supports |diagonal| < 268 Mbp (largest chromosomes)
+
+
+@dataclass
+class AlignerConfig:
+    max_occ: int = 64  # drop minimizers with more index occurrences
+    band_bits: int = 11  # diagonal band width = 2^band_bits
+    min_cnt: int = 3  # min anchors per chain (minimap2 -n 3)
+    min_mlen: int = 40  # min matched bases per chain (minimap2 -m 40)
+    pri_ratio: float = 0.8  # secondary kept if score >= 0.8 * primary
+    max_secondary: int = 50  # minimap2 asm10 -N 50
+    batch_pad: int = 1 << 16  # query padding quantum
+
+
+@functools.partial(jax.jit, static_argnames=("max_occ", "band_bits"))
+def _collect_and_sort_anchors(
+    idx_hi,
+    idx_lo,
+    idx_seq,
+    idx_pos,
+    idx_strand,
+    q_hi,  # [N] flat compacted query minimizers
+    q_lo,
+    qpos,
+    qstrand,
+    qid,
+    q_valid,
+    max_occ: int,
+    band_bits: int,
+):
+    """Anchors for a flat, pre-compacted minimizer list, sorted by
+    (query, ref seq, strand|band, qpos). Returns sorted columns + validity."""
+    import math
+
+    M = idx_hi.shape[0]
+    steps = max(1, int(math.ceil(math.log2(max(M, 2)))))
+
+    def search(le):
+        lo_b = jnp.zeros_like(q_hi, dtype=jnp.int32)
+        hi_b = jnp.full_like(lo_b, M)
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = (lo + hi) // 2
+            a_hi = idx_hi[mid]
+            a_lo = idx_lo[mid]
+            if le:
+                go_right = (a_hi < q_hi) | ((a_hi == q_hi) & (a_lo <= q_lo))
+            else:
+                go_right = (a_hi < q_hi) | ((a_hi == q_hi) & (a_lo < q_lo))
+            return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+        lo, _ = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
+        return lo
+
+    left = search(le=False)
+    right = search(le=True)
+    occ = right - left
+
+    keep = q_valid & (occ > 0) & (occ <= max_occ)
+
+    N = q_hi.shape[0]
+    # expand to [N, max_occ]
+    j = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
+    a_idx = jnp.clip(left[:, None] + j, 0, max(M - 1, 0))
+    valid = keep[:, None] & (j < occ[:, None])
+
+    seq = idx_seq[a_idx]
+    rpos = idx_pos[a_idx]
+    rstrand = idx_strand[a_idx].astype(jnp.int32)
+    rel = (qstrand[:, None] ^ rstrand) & 1
+    diag = jnp.where(rel == 0, rpos - qpos[:, None], rpos + qpos[:, None])
+    band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
+    sb = (rel.astype(jnp.uint32) << 24) | band
+
+    big = jnp.uint32(0xFFFFFFFF)
+    k_q = jnp.where(valid, qid[:, None].astype(jnp.uint32), big).reshape(-1)
+    k_s = jnp.where(valid, seq.astype(jnp.uint32), big).reshape(-1)
+    k_b = jnp.where(valid, sb, big).reshape(-1)
+    k_p = jnp.broadcast_to(qpos[:, None], (N, max_occ)).astype(jnp.uint32).reshape(-1)
+    v_r = rpos.astype(jnp.uint32).reshape(-1)
+
+    s_q, s_s, s_b, s_p, s_r = jax.lax.sort(
+        (k_q, k_s, k_b, k_p, v_r), dimension=0, num_keys=4
+    )
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    return s_q, s_s, s_b, s_p, s_r, n_valid
+
+
+@dataclass
+class _Chain:
+    qid: int
+    seq: int
+    rel: int
+    count: int
+    minq: int
+    maxq: int
+    minr: int
+    maxr: int
+    mlen: int = 0
+    blen: int = 0
+
+
+class MinimizerAligner:
+    """Maps query contigs against a MinimizerIndex, emitting PAF records."""
+
+    def __init__(self, index: MinimizerIndex, config: Optional[AlignerConfig] = None):
+        self.index = index
+        self.cfg = config or AlignerConfig()
+        hi = (index.hashes >> np.uint64(32)).astype(np.uint32)
+        lo = (index.hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        self._idx_hi = jnp.asarray(hi)
+        self._idx_lo = jnp.asarray(lo)
+        self._idx_seq = jnp.asarray(index.seq_id)
+        self._idx_pos = jnp.asarray(index.pos)
+        self._idx_strand = jnp.asarray(index.strand.astype(np.int32))
+
+    # ------------------------------------------------------------------
+
+    def map_batch(
+        self, names: Sequence[str], seqs: Sequence[bytes]
+    ) -> List[PafRecord]:
+        """Map queries; returns PAF records grouped per query in input
+        order (primary chain first)."""
+        k, w = self.index.k, self.index.w
+        cfg = self.cfg
+        records: List[PafRecord] = []
+        if self.index.n_minimizers == 0:
+            return records
+
+        # group queries into equal-padded batches
+        order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+        groups: List[List[int]] = []
+        cur: List[int] = []
+        cur_pad = None
+        for i in order:
+            pad = -(-max(len(seqs[i]), k + w) // cfg.batch_pad) * cfg.batch_pad
+            if cur_pad is None or pad == cur_pad and len(cur) < 64:
+                cur.append(i)
+                cur_pad = pad
+            else:
+                groups.append(cur)
+                cur = [i]
+                cur_pad = pad
+        if cur:
+            groups.append(cur)
+
+        per_query: dict = {i: [] for i in range(len(seqs))}
+        for group in groups:
+            pad = -(-max(max(len(seqs[i]) for i in group), k + w) // cfg.batch_pad) * cfg.batch_pad
+            batch = np.full((len(group), pad), 4, dtype=np.uint8)
+            for row, i in enumerate(group):
+                codes = encode_seq(seqs[i])
+                batch[row, : codes.shape[0]] = codes
+            chains = self._chains_for_batch(jnp.asarray(batch))
+            for ch in chains:
+                per_query[group[ch.qid]].append(ch)
+
+        for i, name in enumerate(names):
+            records.extend(self._emit(name, len(seqs[i]), per_query[i]))
+        return records
+
+    # ------------------------------------------------------------------
+
+    def _chains_for_batch(self, batch) -> List[_Chain]:
+        k = self.index.k
+        cfg = self.cfg
+        m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(
+            batch, k, self.index.w
+        )
+        # host compaction: only kept minimizers (~2/(w+1) density) go into
+        # the anchor expansion — a ~10x cut before the [N, max_occ] grid
+        keep = np.asarray(m_keep)
+        b_idx, w_idx = np.nonzero(keep)
+        n_min = b_idx.shape[0]
+        if n_min == 0:
+            return []
+        bucket = max(1024, 1 << int(np.ceil(np.log2(n_min))))
+        pad = bucket - n_min
+
+        def flat(arr, fill=0):
+            vals = np.asarray(arr)[b_idx, w_idx]
+            return np.concatenate([vals, np.full(pad, fill, dtype=vals.dtype)])
+
+        s_q, s_s, s_b, s_p, s_r, n_valid = _collect_and_sort_anchors(
+            self._idx_hi,
+            self._idx_lo,
+            self._idx_seq,
+            self._idx_pos,
+            self._idx_strand,
+            jnp.asarray(flat(m_hi)),
+            jnp.asarray(flat(m_lo)),
+            jnp.asarray(flat(m_pos)),
+            jnp.asarray(flat(m_strand)),
+            jnp.asarray(
+                np.concatenate(
+                    [b_idx.astype(np.int32), np.zeros(pad, dtype=np.int32)]
+                )
+            ),
+            jnp.asarray(
+                np.concatenate([np.ones(n_min, bool), np.zeros(pad, bool)])
+            ),
+            cfg.max_occ,
+            cfg.band_bits,
+        )
+        n = int(n_valid)
+        if n == 0:
+            return []
+        qid = np.asarray(s_q[:n]).astype(np.int64)
+        seq = np.asarray(s_s[:n]).astype(np.int64)
+        sb = np.asarray(s_b[:n]).astype(np.int64)
+        qpos = np.asarray(s_p[:n]).astype(np.int64)
+        rpos = np.asarray(s_r[:n]).astype(np.int64)
+
+        # segment boundaries where (qid, seq, strand|band) changes
+        change = np.ones(n, dtype=bool)
+        change[1:] = (
+            (qid[1:] != qid[:-1]) | (seq[1:] != seq[:-1]) | (sb[1:] != sb[:-1])
+        )
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        minq = np.minimum.reduceat(qpos, starts)
+        maxq = np.maximum.reduceat(qpos, starts)
+        minr = np.minimum.reduceat(rpos, starts)
+        maxr = np.maximum.reduceat(rpos, starts)
+        g_qid = qid[starts]
+        g_seq = seq[starts]
+        g_rel = (sb[starts] >> 24) & 0xF
+        g_band = sb[starts] & 0xFFFFFF
+
+        # merge adjacent bands within the same (query, seq, strand)
+        chains: List[_Chain] = []
+        i = 0
+        S = len(starts)
+        while i < S:
+            j = i + 1
+            c = _Chain(
+                qid=int(g_qid[i]),
+                seq=int(g_seq[i]),
+                rel=int(g_rel[i]),
+                count=int(counts[i]),
+                minq=int(minq[i]),
+                maxq=int(maxq[i]),
+                minr=int(minr[i]),
+                maxr=int(maxr[i]),
+            )
+            while (
+                j < S
+                and g_qid[j] == g_qid[i]
+                and g_seq[j] == g_seq[i]
+                and g_rel[j] == g_rel[i]
+                and g_band[j] - g_band[j - 1] <= 1
+            ):
+                c.count += int(counts[j])
+                c.minq = min(c.minq, int(minq[j]))
+                c.maxq = max(c.maxq, int(maxq[j]))
+                c.minr = min(c.minr, int(minr[j]))
+                c.maxr = max(c.maxr, int(maxr[j]))
+                j += 1
+            i = j
+            span_q = c.maxq - c.minq + k
+            span_r = c.maxr - c.minr + k
+            c.mlen = min(c.count * k, span_q)
+            c.blen = max(span_q, span_r)
+            if c.count >= cfg.min_cnt and c.mlen >= cfg.min_mlen:
+                chains.append(c)
+        return chains
+
+    # ------------------------------------------------------------------
+
+    def _emit(self, qname: str, qlen: int, chains: List[_Chain]) -> List[PafRecord]:
+        if not chains:
+            return []
+        cfg = self.cfg
+        k = self.index.k
+        chains.sort(key=lambda c: -c.mlen)
+        best = chains[0].mlen
+        second = chains[1].mlen if len(chains) > 1 else 0
+        out: List[PafRecord] = []
+        for rank, c in enumerate(chains[: 1 + cfg.max_secondary]):
+            if rank > 0 and c.mlen < cfg.pri_ratio * best:
+                continue
+            primary = rank == 0
+            mapq = 0
+            if primary:
+                frac = second / best if best else 1.0
+                mapq = int(min(60, max(0, 60 * (1.0 - frac))))
+            out.append(
+                PafRecord(
+                    qname=qname,
+                    qlen=qlen,
+                    qstart=c.minq,
+                    qend=c.maxq + k,
+                    strand="-" if c.rel else "+",
+                    tname=self.index.names[c.seq],
+                    tlen=int(self.index.lengths[c.seq]),
+                    tstart=c.minr,
+                    tend=c.maxr + k,
+                    nmatch=c.mlen,
+                    blocklen=c.blen,
+                    mapq=mapq,
+                    tags={
+                        "tp": f"A:{'P' if primary else 'S'}",
+                        "cm": f"i:{c.count}",
+                    },
+                )
+            )
+        return out

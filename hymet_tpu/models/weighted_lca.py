@@ -38,7 +38,7 @@ def load_hierarchy_vectors(path: str) -> Dict[str, List[str]]:
     (``classification_cami.py:158-174``)."""
     hier: Dict[str, List[str]] = {}
     with open(path, "r", encoding="utf-8", errors="ignore", newline="") as f:
-        header = f.readline().rstrip("\n").split("\t")
+        header = f.readline().rstrip("\r\n").split("\t")
         if "TaxID" not in header or "Lineage" not in header:
             raise RuntimeError("Hierarchy file must have TaxID and Lineage columns")
         tid_i = header.index("TaxID")
@@ -46,7 +46,7 @@ def load_hierarchy_vectors(path: str) -> Dict[str, List[str]]:
         for line in f:
             if not line.strip():
                 continue
-            row = line.rstrip("\n").split("\t")
+            row = line.rstrip("\r\n").split("\t")
             tid = row[tid_i].strip() if tid_i < len(row) else ""
             lin = row[lin_i].strip() if lin_i < len(row) else ""
             if not tid:

@@ -1,0 +1,301 @@
+"""End-to-end classification run: the ``run_hymet_cami.sh`` replacement.
+
+Stage layout and intermediate files mirror the reference batch driver:
+
+  1. sketch screen over 1..N sketch DBs -> selected_genomes.txt
+     (``run_hymet_cami.sh:82-99``)
+  2. candidate limiting (``:101-126``)
+  3. reference set build, cached content-addressed by
+     sha1(selected_genomes.txt) (``:129-165``)
+  4. minimizer index + mapping -> resultados.paf (``:167-171``;
+     the .mmi cache becomes a .npz minimizer-index cache)
+  5. weighted-LCA classification -> classified_sequences.tsv (``:174-180``)
+     with the first-hit fallback when <2 rows (``:182-206``)
+  6. CAMI export -> <sample>.cami.tsv (``:214-218``)
+
+Every stage is idempotent: outputs found on disk are reused (the
+reference's stage-skip semantics).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+import time
+from typing import List, Optional
+
+from hymet_tpu.io.fasta import read_fasta
+from hymet_tpu.io.minimizer_index import MinimizerIndex
+from hymet_tpu.io.paf import write_paf
+from hymet_tpu.io.sketchdb import SketchDB
+from hymet_tpu.models.aligner import AlignerConfig, MinimizerAligner
+from hymet_tpu.models.first_hit import (
+    build_id_map,
+    classify_first_hit,
+    write_fallback_classified,
+)
+from hymet_tpu.models.weighted_lca import classify_paf
+from hymet_tpu.pipeline.candidates import limit_candidates_files
+from hymet_tpu.pipeline.reference_stage import (
+    AssemblySummarySource,
+    LocalGenomeCatalog,
+    build_reference_set,
+)
+from hymet_tpu.pipeline.screen_stage import run_screen_stage
+from hymet_tpu.taxonomy.db import TaxonomyDB
+from hymet_tpu.utils.config import RunConfig
+
+logger = logging.getLogger("hymet_tpu.run")
+
+
+class ClassificationRun:
+    def __init__(self, config: RunConfig):
+        self.cfg = config
+        self.workdir = os.path.join(config.outdir, "work")
+        self.timings = {}
+
+    # ------------------------------------------------------------------
+
+    def execute(self) -> str:
+        """Run all stages; returns the path to classified_sequences.tsv."""
+        cfg = self.cfg
+        if not cfg.input_fasta or not os.path.exists(cfg.input_fasta):
+            raise FileNotFoundError(f"missing FASTA {cfg.input_fasta}")
+        os.makedirs(self.workdir, exist_ok=True)
+        os.makedirs(os.path.join(cfg.outdir, "logs"), exist_ok=True)
+
+        selected_path = self._stage_screen()
+        self._stage_limit(selected_path)
+        combined, taxonomy_tsv = self._stage_reference(selected_path)
+        paf_path = self._stage_align(combined)
+        classified = self._stage_classify(paf_path, taxonomy_tsv)
+        self._stage_export(classified)
+        self._write_metadata()
+        return classified
+
+    # ------------------------------------------------------------------
+
+    def _timed(self, name: str, fn):
+        t0 = time.time()
+        out = fn()
+        self.timings[name] = time.time() - t0
+        logger.info("[stage %s] %.2fs", name, self.timings[name])
+        return out
+
+    def _stage_screen(self) -> str:
+        cfg = self.cfg
+        selected = os.path.join(self.workdir, "selected_genomes.txt")
+        if os.path.exists(selected) and os.path.getsize(selected) > 0:
+            logger.info("screen outputs exist; skipping")
+            return selected
+
+        def run():
+            dbs = [SketchDB.load(p) for p in cfg.sketch_dbs]
+            if not dbs:
+                raise RuntimeError("no sketch DBs configured (cfg.sketch_dbs)")
+            labels = [
+                os.path.splitext(os.path.basename(p))[0] for p in cfg.sketch_dbs
+            ]
+            return run_screen_stage(
+                dbs,
+                [cfg.input_fasta],
+                self.workdir,
+                initial_threshold=cfg.mash_thresh,
+                db_labels=labels,
+                chunk_bp=cfg.screen_chunk_bp,
+            )
+
+        self._timed("screen", run)
+        return selected
+
+    def _stage_limit(self, selected_path: str) -> None:
+        cfg = self.cfg
+        score_files = [
+            os.path.join(self.workdir, f)
+            for f in os.listdir(self.workdir)
+            if f.endswith("_sorted.tab")
+        ]
+        limited = selected_path + ".limited"
+        self._timed(
+            "limit",
+            lambda: limit_candidates_files(
+                selected_path,
+                limited,
+                sorted(score_files),
+                max_candidates=cfg.cand_max,
+                dedupe=cfg.species_dedup,
+                assembly_dir=cfg.assembly_summary_dir,
+                log_path=cfg.cand_limit_log,
+            ),
+        )
+        os.replace(limited, selected_path)
+        n = sum(1 for _ in open(selected_path))
+        if n == 0:
+            raise RuntimeError("candidate list empty after applying limit")
+
+    def _cache_key(self, selected_path: str) -> str:
+        with open(selected_path, "rb") as f:
+            return hashlib.sha1(f.read()).hexdigest()
+
+    def _stage_reference(self, selected_path: str):
+        cfg = self.cfg
+        key = self._cache_key(selected_path)
+        cache_dir = os.path.join(cfg.cache_root, key)
+        combined = os.path.join(cache_dir, "combined_genomes.fasta")
+        taxonomy = os.path.join(cache_dir, "detailed_taxonomy.tsv")
+        logger.info("cache key %s -> %s", key, cache_dir)
+        if cfg.force_download:
+            for p in (combined, taxonomy):
+                if os.path.exists(p):
+                    os.remove(p)
+        if os.path.exists(combined) and os.path.getsize(combined) > 0:
+            logger.info("cache hit for %s", key)
+            return combined, taxonomy
+
+        with open(selected_path) as f:
+            names = [line.strip() for line in f if line.strip()]
+
+        catalog = None
+        if cfg.genome_catalog:
+            if os.path.isdir(cfg.genome_catalog):
+                catalog = LocalGenomeCatalog.from_directory(
+                    cfg.genome_catalog, cfg.seqid2taxid
+                )
+            else:
+                catalog = LocalGenomeCatalog.from_refs_tsv(cfg.genome_catalog)
+        source = None
+        if cfg.allow_download and cfg.assembly_summary_dir:
+            source = AssemblySummarySource(cfg.assembly_summary_dir)
+
+        self._timed(
+            "reference",
+            lambda: build_reference_set(names, cache_dir, catalog, source),
+        )
+        return combined, taxonomy
+
+    def _stage_align(self, combined: str) -> str:
+        cfg = self.cfg
+        paf_path = os.path.join(self.workdir, "resultados.paf")
+        if os.path.exists(paf_path) and os.path.getsize(paf_path) > 0:
+            logger.info("PAF exists; skipping alignment")
+            return paf_path
+
+        idx_path = os.path.join(os.path.dirname(combined), "reference_minidx.npz")
+
+        def run():
+            if os.path.exists(idx_path) and not cfg.force_download:
+                index = MinimizerIndex.load(idx_path)
+                logger.info("cached minimizer index: %s", idx_path)
+            else:
+                index = MinimizerIndex.build_from_fasta(
+                    combined, k=cfg.align_k, w=cfg.align_w
+                )
+                index.save(idx_path)
+            aligner = MinimizerAligner(
+                index, AlignerConfig(batch_pad=cfg.align_batch_pad)
+            )
+            qnames, qseqs = read_fasta(cfg.input_fasta)
+            records = aligner.map_batch(qnames, qseqs)
+            write_paf(paf_path, records)
+            return len(records)
+
+        n = self._timed("align", run)
+        logger.info("alignment rows: %s", n)
+        return paf_path
+
+    def _stage_classify(self, paf_path: str, taxonomy_tsv: str) -> str:
+        cfg = self.cfg
+        out = os.path.join(self.workdir, "classified_sequences.tsv")
+        hierarchy = self._hierarchy_path()
+
+        def run():
+            try:
+                if cfg.classifier_backend == "legacy":
+                    from hymet_tpu.models.legacy_lca import classify_paf_legacy
+
+                    classified, total = classify_paf_legacy(
+                        paf_path, taxonomy_tsv, hierarchy, out
+                    )
+                else:
+                    classified, total = classify_paf(
+                        paf_path, taxonomy_tsv, hierarchy, out, backend=cfg.classifier_backend
+                    )
+            except Exception as e:  # noqa: BLE001 — reference tolerates (|| true)
+                logger.error("primary classification failed: %s", e)
+                classified, total = 0, 0
+            rows = (
+                sum(1 for _ in open(out)) if os.path.exists(out) else 0
+            )
+            if rows < 2:
+                logger.warning(
+                    "primary classification empty -> first-hit fallback"
+                )
+                id2tax = build_id_map(taxonomy_tsv)
+                frows, _ = classify_first_hit(paf_path, id2tax)
+                write_fallback_classified(out, frows)
+                if sum(1 for _ in open(out)) < 2:
+                    raise RuntimeError("classification still empty after fallback")
+            return out
+
+        self._timed("classify", run)
+        final = os.path.join(cfg.outdir, "classified_sequences.tsv")
+        if os.path.abspath(final) != os.path.abspath(out):
+            import shutil
+
+            shutil.copyfile(out, final)
+        return final
+
+    def _hierarchy_path(self) -> str:
+        cfg = self.cfg
+        if not cfg.taxonomy_dir:
+            raise RuntimeError("taxonomy_dir not configured")
+        # accept a prebuilt hierarchy TSV, or a taxdump dir to build from
+        tsv = (
+            cfg.taxonomy_dir
+            if cfg.taxonomy_dir.endswith(".tsv")
+            else os.path.join(cfg.taxonomy_dir, "taxonomy_hierarchy.tsv")
+        )
+        if os.path.exists(tsv):
+            return tsv
+        names_dmp = os.path.join(cfg.taxonomy_dir, "names.dmp")
+        if os.path.exists(names_dmp):
+            logger.info("building taxonomy hierarchy from taxdump")
+            db = TaxonomyDB.from_taxdump(cfg.taxonomy_dir)
+            db.write_hierarchy_tsv(tsv)
+            return tsv
+        raise RuntimeError(f"no taxonomy found under {cfg.taxonomy_dir}")
+
+    def _taxdb(self) -> TaxonomyDB:
+        cfg = self.cfg
+        names_dmp = os.path.join(cfg.taxonomy_dir, "names.dmp") if cfg.taxonomy_dir else ""
+        if names_dmp and os.path.exists(names_dmp):
+            return TaxonomyDB.from_taxdump(cfg.taxonomy_dir)
+        return TaxonomyDB.from_hierarchy_tsv(self._hierarchy_path())
+
+    def _stage_export(self, classified: str) -> str:
+        cfg = self.cfg
+        sample = os.path.splitext(os.path.basename(cfg.input_fasta))[0]
+        out = os.path.join(cfg.outdir, f"hymet.{sample}.cami.tsv")
+
+        def run():
+            from hymet_tpu.evalx.cami import classified_to_cami
+
+            return classified_to_cami(classified, self._taxdb(), out, sample)
+
+        self._timed("export", run)
+        return out
+
+    def _write_metadata(self) -> None:
+        meta = {
+            "tool": "hymet_tpu",
+            "config": {
+                k: v
+                for k, v in self.cfg.__dict__.items()
+                if isinstance(v, (str, int, float, bool, list, type(None)))
+            },
+            "timings_sec": {k: round(v, 3) for k, v in self.timings.items()},
+        }
+        with open(os.path.join(self.cfg.outdir, "metadata.json"), "w") as f:
+            json.dump(meta, f, indent=2)

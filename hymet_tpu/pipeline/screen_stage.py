@@ -153,6 +153,7 @@ def run_screen_stage(
     outdir: str,
     initial_threshold: float = 0.9,
     db_labels: Optional[Sequence[str]] = None,
+    chunk_bp: int = 1 << 20,
 ) -> List[str]:
     """Full stage over multiple sketch DBs (the reference screens sketch1,
     sketch2, sketch3 and unions the selections, ``run_hymet_cami.sh:83-98``).
@@ -164,7 +165,7 @@ def run_screen_stage(
     labels = list(db_labels) if db_labels else [f"db{i+1}" for i in range(len(dbs))]
     union: List[str] = []
     for db, label in zip(dbs, labels):
-        rows = screen_queries(db, query_files)
+        rows = screen_queries(db, query_files, chunk_bp=chunk_bp)
         write_screen_tab(os.path.join(outdir, f"{label}_screen.tab"), rows)
         srt = unique_sorted_rows(rows)
         write_screen_tab(os.path.join(outdir, f"{label}_sorted.tab"), srt)

@@ -63,7 +63,8 @@ class IdentifierMap:
             header_line = f.readline()
             if not header_line:
                 raise RuntimeError("empty taxonomy file")
-            header = header_line.rstrip("\n").split("\t")
+            # rstrip \r too: the file is csv.writer output (CRLF endings)
+            header = header_line.rstrip("\r\n").split("\t")
             if "TaxID" not in header:
                 raise RuntimeError("TaxID column not found in taxonomy file")
             tax_i = header.index("TaxID")
@@ -71,7 +72,7 @@ class IdentifierMap:
             for line in f:
                 if not line.strip():
                     continue
-                row = line.rstrip("\n").split("\t")
+                row = line.rstrip("\r\n").split("\t")
                 if len(row) <= tax_i:
                     continue
                 taxid = row[tax_i].strip()

@@ -1,0 +1,182 @@
+"""Minimizer aligner tests: extraction host/device equivalence and
+seed-chain mapping behavior (exact / mutated / revcomp / indel / absent)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hymet_tpu.io.fasta import encode_seq
+from hymet_tpu.io.minimizer_index import MinimizerIndex
+from hymet_tpu.models.aligner import AlignerConfig, MinimizerAligner
+from hymet_tpu.ops.minimizer import (
+    extract_minimizers_jax,
+    extract_minimizers_numpy,
+    hash64_numpy,
+)
+
+_ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _rand_seq(rng, n):
+    return rng.choice(_ACGT, size=n).astype(np.uint8).tobytes()
+
+
+def _mutate(rng, seq, rate):
+    arr = np.frombuffer(seq, dtype=np.uint8).copy()
+    idx = rng.random(len(arr)) < rate
+    arr[idx] = rng.choice(_ACGT, size=int(idx.sum())).astype(np.uint8)
+    return arr.tobytes()
+
+
+_RC = dict(zip(b"ACGT", b"TGCA"))
+
+
+def _revcomp(seq):
+    return bytes(_RC[c] for c in reversed(seq))
+
+
+def test_hash64_invertible_range():
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 1 << 38, size=1000).astype(np.uint64)
+    h = hash64_numpy(keys, 38)
+    assert (h < (1 << 38)).all()
+    # mixer should be injective on a sample
+    assert len(np.unique(h)) == len(np.unique(keys))
+
+
+def test_extraction_jax_matches_numpy():
+    rng = np.random.default_rng(1)
+    seq = _rand_seq(rng, 3000)
+    codes = encode_seq(seq)
+    h_np, p_np, s_np = extract_minimizers_numpy(codes, 19, 19)
+
+    m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(
+        jnp.asarray(codes[None, :]), 19, 19
+    )
+    keep = np.asarray(m_keep[0])
+    pos = np.asarray(m_pos[0])[keep]
+    hi = np.asarray(m_hi[0])[keep].astype(np.uint64)
+    lo = np.asarray(m_lo[0])[keep].astype(np.uint64)
+    h_jax = (hi << np.uint64(32)) | lo
+    np.testing.assert_array_equal(pos, p_np)
+    np.testing.assert_array_equal(h_jax, h_np)
+    np.testing.assert_array_equal(np.asarray(m_strand[0])[keep], s_np.astype(np.int32))
+
+
+def test_extraction_density():
+    # expected minimizer density ~ 2/(w+1)
+    rng = np.random.default_rng(2)
+    codes = encode_seq(_rand_seq(rng, 100000))
+    h, p, s = extract_minimizers_numpy(codes, 19, 19)
+    density = len(p) / len(codes)
+    assert 0.07 < density < 0.13  # 2/20 = 0.1
+
+
+@pytest.fixture(scope="module")
+def ref_index():
+    rng = np.random.default_rng(42)
+    genomes = [
+        ("chrA", _rand_seq(rng, 60000)),
+        ("chrB", _rand_seq(rng, 40000)),
+        ("chrC", _rand_seq(rng, 30000)),
+    ]
+    idx = MinimizerIndex.build(genomes)
+    return idx, dict(genomes)
+
+
+def test_map_exact_slice(ref_index):
+    idx, genomes = ref_index
+    aln = MinimizerAligner(idx)
+    q = genomes["chrB"][5000:15000]
+    recs = aln.map_batch(["q1"], [q])
+    assert recs, "no mapping found"
+    r = recs[0]
+    assert r.tname == "chrB"
+    assert r.strand == "+"
+    assert r.tags["tp"] == "A:P"
+    # extents should cover nearly the whole slice
+    assert r.blocklen > 9500
+    assert abs(r.tstart - 5000) < 100 and abs(r.tend - 15000) < 100
+    assert r.coverage > 0.95
+    assert r.mapq == 60
+
+
+def test_map_revcomp(ref_index):
+    idx, genomes = ref_index
+    aln = MinimizerAligner(idx)
+    q = _revcomp(genomes["chrA"][20000:30000])
+    recs = aln.map_batch(["q1"], [q])
+    assert recs
+    r = recs[0]
+    assert r.tname == "chrA" and r.strand == "-"
+    assert abs(r.tstart - 20000) < 100 and abs(r.tend - 30000) < 100
+    assert r.blocklen > 9500
+
+
+def test_map_mutated(ref_index):
+    idx, genomes = ref_index
+    rng = np.random.default_rng(7)
+    aln = MinimizerAligner(idx)
+    q = _mutate(rng, genomes["chrC"][2000:12000], 0.05)  # asm10 regime
+    recs = aln.map_batch(["q1"], [q])
+    assert recs
+    r = recs[0]
+    assert r.tname == "chrC"
+    assert r.blocklen > 8000
+
+
+def test_map_with_deletion(ref_index):
+    idx, genomes = ref_index
+    aln = MinimizerAligner(idx)
+    src = genomes["chrB"][5000:20000]
+    q = src[:7000] + src[7800:]  # 800 bp deletion: crosses one band step
+    recs = aln.map_batch(["q1"], [q])
+    assert recs
+    r = recs[0]
+    assert r.tname == "chrB"
+    # single merged chain spanning the deletion
+    assert r.blocklen > 14000
+
+
+def test_map_absent_genome(ref_index):
+    idx, _ = ref_index
+    rng = np.random.default_rng(9)
+    aln = MinimizerAligner(idx)
+    recs = aln.map_batch(["q1"], [_rand_seq(rng, 8000)])
+    assert recs == []
+
+
+def test_map_multiple_queries_order(ref_index):
+    idx, genomes = ref_index
+    aln = MinimizerAligner(idx)
+    recs = aln.map_batch(
+        ["a", "b", "c"],
+        [genomes["chrA"][:5000], genomes["chrC"][1000:7000], genomes["chrB"][:4000]],
+    )
+    # grouped per query in input order
+    qnames = [r.qname for r in recs]
+    assert qnames == sorted(qnames, key=["a", "b", "c"].index)
+    by_q = {r.qname: r.tname for r in recs if r.tags["tp"] == "A:P"}
+    assert by_q == {"a": "chrA", "b": "chrC", "c": "chrB"}
+
+
+def test_index_save_load_shard(tmp_path, ref_index):
+    idx, _ = ref_index
+    p = str(tmp_path / "idx.npz")
+    idx.save(p)
+    idx2 = MinimizerIndex.load(p)
+    assert idx2.names == idx.names
+    np.testing.assert_array_equal(idx2.hashes, idx.hashes)
+
+    shards = idx.shard(2)
+    assert sum(s.n_minimizers for s in shards) == idx.n_minimizers
+    # shard-local mapping still finds the right target
+    aln = MinimizerAligner(shards[0])
+    assert shards[0].names[0] == "chrA"
+
+
+def test_short_query_no_crash(ref_index):
+    idx, genomes = ref_index
+    aln = MinimizerAligner(idx)
+    assert aln.map_batch(["tiny"], [b"ACGTACGT"]) == []

@@ -1,0 +1,204 @@
+"""End-to-end pipeline test: synthetic genomes -> sketch DB -> run driver
+(screen -> limit -> reference -> align -> classify -> CAMI export),
+checking species recovery, output formats, caching, and fallback."""
+
+import gzip
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hymet_tpu.io.sketchdb import build_sketch_db
+from hymet_tpu.pipeline.run import ClassificationRun
+from hymet_tpu.utils.config import RunConfig
+
+_ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+SPECIES = {
+    # accession -> (species taxid, seq names)
+    "GCF_000000001.1": ("1423", "bsub_chr"),
+    "GCF_000000002.1": ("562", "ecoli_chr"),
+    "GCF_000000003.1": ("287", "paer_chr"),
+}
+
+
+def _rand_seq(rng, n):
+    return rng.choice(_ACGT, size=n).astype(np.uint8).tobytes()
+
+
+def _mutate(rng, seq, rate):
+    arr = np.frombuffer(seq, dtype=np.uint8).copy()
+    idx = rng.random(len(arr)) < rate
+    arr[idx] = rng.choice(_ACGT, size=int(idx.sum())).astype(np.uint8)
+    return arr.tobytes()
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory, request):
+    """Builds the on-disk world: genomes dir, sketch DB, hierarchy TSV,
+    query FASTA with truth labels."""
+    mini_taxdb = request.getfixturevalue("mini_taxdb")
+    tmp = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(77)
+
+    genomes_dir = tmp / "genomes"
+    genomes_dir.mkdir()
+    genome_files = []
+    genome_names = []
+    seqs = {}
+    for acc, (taxid, seqname) in SPECIES.items():
+        seq = _rand_seq(rng, 50000)
+        seqs[acc] = seq
+        fn = genomes_dir / f"{acc}_ASMX_genomic.fna.gz"
+        with gzip.open(fn, "wt") as f:
+            f.write(f">{seqname} synthetic\n")
+            for i in range(0, len(seq), 80):
+                f.write(seq[i : i + 80].decode() + "\n")
+        genome_files.append(str(fn))
+        genome_names.append(fn.name)
+
+    db = build_sketch_db(genome_files, k=21, sketch_size=300, names=genome_names)
+    db_path = tmp / "sketch1.npz"
+    db.save(str(db_path))
+
+    tax_dir = tmp / "taxonomy"
+    tax_dir.mkdir()
+    mini_taxdb.write_hierarchy_tsv(str(tax_dir / "taxonomy_hierarchy.tsv"))
+
+    # seqid/accession -> taxid table for the local catalog
+    s2t = tmp / "seqid2taxid.tsv"
+    with s2t.open("w") as f:
+        for acc, (taxid, _) in SPECIES.items():
+            f.write(f"{acc}\t{taxid}\n")
+
+    # queries: mutated slices + one unknown contig
+    qf = tmp / "sample.fna"
+    truth = {}
+    with qf.open("w") as f:
+        i = 0
+        for acc, (taxid, _) in SPECIES.items():
+            for lo in (1000, 20000):
+                q = _mutate(rng, seqs[acc][lo : lo + 8000], 0.02)
+                name = f"ctg{i}"
+                truth[name] = taxid
+                f.write(f">{name}\n{q.decode()}\n")
+                i += 1
+        f.write(f">ctg{i}\n{_rand_seq(rng, 5000).decode()}\n")
+        truth[f"ctg{i}"] = None
+
+    return {
+        "tmp": tmp,
+        "db_path": str(db_path),
+        "genomes_dir": str(genomes_dir),
+        "tax_dir": str(tax_dir),
+        "seqid2taxid": str(s2t),
+        "query": str(qf),
+        "truth": truth,
+        "taxdb": mini_taxdb,
+    }
+
+
+def _config(world, outdir):
+    return RunConfig(
+        input_fasta=world["query"],
+        outdir=str(outdir),
+        cand_max=100,
+        cache_root=str(world["tmp"] / "cache"),
+        taxonomy_dir=world["tax_dir"],
+        sketch_dbs=[world["db_path"]],
+        genome_catalog=world["genomes_dir"],
+        seqid2taxid=world["seqid2taxid"],
+        # small static shapes keep CPU XLA compiles fast in CI
+        screen_chunk_bp=1 << 15,
+        align_batch_pad=1 << 13,
+    )
+
+
+def test_full_run_species_recovery(world, tmp_path):
+    run = ClassificationRun(_config(world, tmp_path / "out"))
+    classified = run.execute()
+    assert os.path.exists(classified)
+
+    rows = {}
+    with open(classified, newline="") as f:
+        header = f.readline().rstrip("\r\n").split("\t")
+        assert header == ["Query", "Lineage", "Taxonomic Level", "Confidence"]
+        for line in f:
+            parts = line.rstrip("\r\n").split("\t")
+            rows[parts[0]] = parts
+
+    taxdb = world["taxdb"]
+    hits = 0
+    for ctg, taxid in world["truth"].items():
+        if taxid is None:
+            # unmapped contigs never reach the PAF, so (like the reference)
+            # they are absent from the output — or Unknown if spurious
+            # anchors mapped them
+            assert ctg not in rows or rows[ctg][1] == "Unknown"
+            continue
+        assert ctg in rows, f"{ctg} missing from output"
+        lineage = rows[ctg][1]
+        species = taxdb.name[taxid]
+        assert f"species:{species}" in lineage, (ctg, lineage)
+        assert rows[ctg][2] == "species"
+        assert float(rows[ctg][3]) > 0.9
+        hits += 1
+    assert hits == 6
+
+    # CAMI profile exists and has species rows summing to ~100
+    cami = [
+        p for p in os.listdir(tmp_path / "out") if p.endswith(".cami.tsv")
+    ]
+    assert cami
+    from hymet_tpu.evalx.cami import parse_cami_profile
+
+    profile = parse_cami_profile(str(tmp_path / "out" / cami[0]))
+    sp = [r for r in profile if r["rank"] == "species"]
+    assert len(sp) == 3
+    assert sum(r["percentage"] for r in sp) == pytest.approx(100.0, abs=1e-3)
+    # taxpaths filled
+    assert all("|" in r["taxpath"] for r in sp)
+
+    # metadata with timings
+    import json
+
+    meta = json.load(open(tmp_path / "out" / "metadata.json"))
+    assert set(meta["timings_sec"]) >= {"screen", "limit", "reference", "align", "classify", "export"}
+
+
+def test_cache_reuse_and_idempotence(world, tmp_path):
+    cfg1 = _config(world, tmp_path / "out1")
+    ClassificationRun(cfg1).execute()
+    # second run with a fresh outdir: reference cache hit (same candidates)
+    cfg2 = _config(world, tmp_path / "out2")
+    run2 = ClassificationRun(cfg2)
+    run2.execute()
+    # cache hit skips the stage entirely (no timing recorded) or is instant
+    assert run2.timings.get("reference", 0.0) < 0.5
+
+    # re-execute same run dir: stages all skipped
+    run3 = ClassificationRun(cfg2)
+    run3.execute()
+    assert "screen" not in run3.timings or run3.timings.get("align", 0) < 0.5
+
+
+def test_fallback_on_missing_hierarchy(world, tmp_path):
+    """With an empty hierarchy (no taxids resolvable to lineages), the
+    primary classifier still writes rows; with an empty taxonomy TSV the
+    fallback path kicks in."""
+    import csv
+
+    # taxonomy tsv without useful identifiers -> primary yields Unknowns
+    bad_tax_dir = tmp_path / "tax"
+    bad_tax_dir.mkdir()
+    with (bad_tax_dir / "taxonomy_hierarchy.tsv").open("w") as f:
+        f.write("TaxID\tName\tRank\tParentTaxID\tLineage\n")
+
+    cfg = _config(world, tmp_path / "out")
+    cfg.taxonomy_dir = str(bad_tax_dir)
+    run = ClassificationRun(cfg)
+    classified = run.execute()
+    with open(classified) as f:
+        rows = f.read().splitlines()
+    assert len(rows) >= 2  # fallback or Unknown rows, never empty
