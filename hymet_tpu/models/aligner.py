@@ -70,7 +70,7 @@ def _collect_and_sort_anchors(
     import math
 
     M = idx_hi.shape[0]
-    steps = max(1, int(math.ceil(math.log2(max(M, 2)))))
+    steps = max(1, int(math.ceil(math.log2(M + 1))))  # M+1 insertion points
 
     def search(le):
         lo_b = jnp.zeros_like(q_hi, dtype=jnp.int32)

@@ -56,7 +56,7 @@ def screen_count_batch(
     """One streaming update: binary-search every query hash in the flat DB
     array and add its occurrence to `counts`."""
     F = db_hi.shape[0]
-    steps = max(1, int(math.ceil(math.log2(max(F, 2)))))
+    steps = max(1, int(math.ceil(math.log2(F + 1))))  # F+1 insertion points
 
     lo = jnp.zeros_like(q_hi, dtype=jnp.int32)
     hi = jnp.full_like(lo, F)
@@ -131,7 +131,7 @@ class ScreenEngine:
     """Streaming mash-screen over one SketchDB (single device or one
     db-shard). Feed query k-mer hash batches; finalize to per-ref rows."""
 
-    def __init__(self, db: SketchDB):
+    def __init__(self, db: SketchDB, track_kmers: bool = True):
         self.db = db
         flat, ref_idx = db.flat_index()
         hi, lo = split64(flat)
@@ -141,15 +141,20 @@ class ScreenEngine:
         self.ref_idx = jnp.asarray(ref_idx)
         self.n_hashes = jnp.asarray(db.n_hashes)
         self.total_query_kmers = 0
+        # p-values need the query k-mer count; benches disable the
+        # device->host sync it costs
+        self.track_kmers = track_kmers
 
     def update(self, q_hi, q_lo, q_valid) -> None:
         if self.db_hi.shape[0] == 0:  # empty DB: nothing to count
-            self.total_query_kmers += int(np.sum(np.asarray(q_valid)))
+            if self.track_kmers:
+                self.total_query_kmers += int(np.sum(np.asarray(q_valid)))
             return
         self.counts = screen_count_batch(
             self.db_hi, self.db_lo, self.counts, q_hi.ravel(), q_lo.ravel(), q_valid.ravel()
         )
-        self.total_query_kmers += int(np.sum(np.asarray(q_valid)))
+        if self.track_kmers:
+            self.total_query_kmers += int(np.sum(np.asarray(q_valid)))
 
     def update_codes(self, codes: jax.Array) -> None:
         """Hash a [B, L] uint8 code batch on device and stream it in."""
@@ -219,6 +224,49 @@ class ScreenResult:
 
 # ----------------------------------------------------------------------
 # device-side bottom-s sketching (for DB builds / query sketch mode)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cand"))
+def sketch_batch_topk(codes: jax.Array, k: int, cand: int):
+    """Fast device sketch candidates: bottom-`cand` k-mer hashes per row,
+    selected by the hi limb via top_k of its complement (top_k compiles
+    and runs far faster than multi-operand sorts on TPU).
+
+    Returns (cand_hi, cand_lo) [B, cand]; the exact bottom-s *distinct*
+    64-bit selection (Mash semantics) is finished on host by
+    :func:`finish_bottom_sketch`. `cand` should be >= 2*s + slack so the
+    true bottom-s distinct values are covered despite hi-limb ties and
+    duplicate k-mers.
+    """
+    hi, lo, valid = kmer_hashes_jax(codes, k)
+    neg = jnp.where(valid, ~hi, jnp.uint32(0))
+    n = neg.shape[1]
+    kk = min(cand, n)
+    vals, idx = jax.lax.top_k(neg, kk)
+    cand_hi = ~vals
+    cand_lo = jnp.take_along_axis(jnp.where(valid, lo, jnp.uint32(0xFFFFFFFF)), idx, axis=1)
+    return cand_hi, cand_lo
+
+
+def finish_bottom_sketch(
+    cand_hi: np.ndarray, cand_lo: np.ndarray, s: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host finish for :func:`sketch_batch_topk`: per row, pack to uint64,
+    de-duplicate, keep the s smallest. Returns ([B, s] uint64 PAD-padded,
+    [B] counts)."""
+    from hymet_tpu.ops.hashing import pack64
+
+    B = cand_hi.shape[0]
+    out = np.full((B, s), PAD_HASH, dtype=np.uint64)
+    n_out = np.zeros(B, dtype=np.int32)
+    h64 = pack64(np.asarray(cand_hi), np.asarray(cand_lo))
+    for i in range(B):
+        uniq = np.unique(h64[i])
+        uniq = uniq[uniq != PAD_HASH]
+        n = min(len(uniq), s)
+        out[i, :n] = uniq[:n]
+        n_out[i] = n
+    return out, n_out
 
 
 @functools.partial(jax.jit, static_argnames=("k", "s"))

@@ -1,0 +1,32 @@
+"""Device mesh construction."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    data: Optional[int] = None, db: Optional[int] = None, devices=None
+) -> Mesh:
+    """2D ("data", "db") mesh over the available devices.
+
+    Defaults: put everything on "db" (reference sharding is the usual
+    memory constraint) unless data is given. data * db must equal the
+    device count used.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if data is None and db is None:
+        data, db = 1, n
+    elif data is None:
+        data = n // db
+    elif db is None:
+        db = n // data
+    if data * db != n:
+        raise ValueError(f"mesh {data}x{db} != {n} devices")
+    arr = np.array(devs).reshape(data, db)
+    return Mesh(arr, axis_names=("data", "db"))

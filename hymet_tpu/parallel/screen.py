@@ -1,0 +1,195 @@
+"""Sharded sketch screen over a ("data", "db") mesh.
+
+The reference's three sequential sketch DBs and `mash screen -p 8`
+(``run_hymet_cami.sh:83-99``, ``scripts/mash.sh:14``) become one
+screen over row-sharded sketch matrices:
+
+- reference sketches shard row-contiguously over "db" (each device holds
+  its own sorted flat hash array + counts),
+- query contig batches shard over "data"; each data group hashes its own
+  block, then `all_gather` over "data" shares the hash stream so every db
+  shard counts the full query set against its local references,
+- per-shard identity/shared/median score locally; candidate rows
+  concatenate on host (a pure reshard — no reduction needed because
+  references are disjoint across shards).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from hymet_tpu.io.sketchdb import SketchDB
+from hymet_tpu.ops.hashing import kmer_hashes_jax
+from hymet_tpu.ops.sketch import ScreenResult, split64
+
+
+def _pair_search_count(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
+    """Lower-bound search of (q_hi, q_lo) pairs in sorted (db_hi, db_lo);
+    scatter-add occurrence counts. Shared body for single-device and
+    shard_map paths."""
+    F = db_hi.shape[0]
+    steps = max(1, int(math.ceil(math.log2(F + 1))))  # F+1 insertion points
+    lo = jnp.zeros_like(q_hi, dtype=jnp.int32)
+    hi = jnp.full_like(lo, F)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        m_hi = db_hi[mid]
+        m_lo = db_lo[mid]
+        less = (m_hi < q_hi) | ((m_hi == q_hi) & (m_lo < q_lo))
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    pos = jnp.clip(lo, 0, F - 1)
+    found = (db_hi[pos] == q_hi) & (db_lo[pos] == q_lo) & q_valid & (lo < F)
+    return counts.at[pos].add(found.astype(jnp.int32))
+
+
+class ShardedScreenEngine:
+    """Multi-device ScreenEngine: same .update_codes/.finalize contract."""
+
+    def __init__(self, mesh, db: SketchDB):
+        self.mesh = mesh
+        self.db = db
+        n_db = mesh.shape["db"]
+        self.shards = db.shard(n_db)
+
+        flats = [s.flat_index() for s in self.shards]
+        F = max((f[0].shape[0] for f in flats), default=1)
+        F = max(F, 1)
+        R = max((s.n_refs for s in self.shards), default=1)
+        R = max(R, 1)
+        s_len = db.sketch_size
+
+        db_hi = np.full((n_db, F), 0xFFFFFFFF, dtype=np.uint32)
+        db_lo = np.full((n_db, F), 0xFFFFFFFF, dtype=np.uint32)
+        ref_idx = np.full((n_db, R, s_len), -1, dtype=np.int32)
+        n_hashes = np.zeros((n_db, R), dtype=np.int32)
+        for i, (sh, (flat, ridx)) in enumerate(zip(self.shards, flats)):
+            hi, lo = split64(flat)
+            db_hi[i, : hi.shape[0]] = hi
+            db_lo[i, : lo.shape[0]] = lo
+            ref_idx[i, : ridx.shape[0], :] = ridx
+            n_hashes[i, : sh.n_refs] = sh.n_hashes
+
+        db_shard = NamedSharding(mesh, P("db", None))
+        db_shard3 = NamedSharding(mesh, P("db", None, None))
+        self.db_hi = jax.device_put(db_hi, db_shard)
+        self.db_lo = jax.device_put(db_lo, db_shard)
+        self.ref_idx = jax.device_put(ref_idx, db_shard3)
+        self.n_hashes = jax.device_put(n_hashes, db_shard)
+        self.counts = jax.device_put(
+            np.zeros((n_db, F), dtype=np.int32), db_shard
+        )
+        self.total_query_kmers = 0
+        self._update = self._make_update()
+        self._score = self._make_score()
+
+    # ------------------------------------------------------------------
+
+    def _make_update(self):
+        mesh = self.mesh
+        k = self.db.k
+
+        @jax.jit
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P("db", None), P("db", None), P("db", None), P("data", None)),
+            out_specs=P("db", None),
+            check_vma=False,
+        )
+        def step(db_hi, db_lo, counts, codes):
+            # hash the local data block, then share across the data axis
+            hi, lo, valid = kmer_hashes_jax(codes, k)
+            hi = jax.lax.all_gather(hi, "data").reshape(-1)
+            lo = jax.lax.all_gather(lo, "data").reshape(-1)
+            valid = jax.lax.all_gather(valid, "data").reshape(-1)
+            return _pair_search_count(
+                db_hi[0], db_lo[0], counts[0], hi, lo, valid
+            )[None, :]
+
+        return step
+
+    def _make_score(self):
+        mesh = self.mesh
+        k = self.db.k
+
+        @jax.jit
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P("db", None), P("db", None, None), P("db", None)),
+            out_specs=(P("db", None), P("db", None), P("db", None)),
+            check_vma=False,
+        )
+        def score(counts, ref_idx, n_hashes):
+            from hymet_tpu.ops.sketch import screen_scores
+
+            ident, shared, median = screen_scores(
+                counts[0], ref_idx[0], n_hashes[0], k
+            )
+            return ident[None, :], shared[None, :], median[None, :]
+
+        return score
+
+    # ------------------------------------------------------------------
+
+    def update_codes(self, codes: np.ndarray) -> None:
+        """codes: [B, L] with B divisible by the data axis size."""
+        n_data = self.mesh.shape["data"]
+        B = codes.shape[0]
+        if B % n_data != 0:
+            pad = n_data - (B % n_data)
+            codes = np.concatenate(
+                [codes, np.full((pad, codes.shape[1]), 4, dtype=np.uint8)]
+            )
+        codes_j = jax.device_put(
+            codes, NamedSharding(self.mesh, P("data", None))
+        )
+        self.counts = self._update(self.db_hi, self.db_lo, self.counts, codes_j)
+        # exact valid-window count for p-values (host mirror of the
+        # kernel's validity rule)
+        k = self.db.k
+        inv = (codes >= 4).astype(np.int32)
+        csum = np.concatenate(
+            [np.zeros((codes.shape[0], 1), np.int32), np.cumsum(inv, axis=1)],
+            axis=1,
+        )
+        valid = (csum[:, k:] - csum[:, :-k]) == 0
+        self.total_query_kmers += int(valid.sum())
+
+    def finalize(self) -> ScreenResult:
+        ident, shared, median = self._score(
+            self.counts, self.ref_idx, self.n_hashes
+        )
+        ident = np.asarray(ident)
+        shared = np.asarray(shared)
+        median = np.asarray(median)
+        # reassemble per-shard rows into the global reference order
+        identity = np.zeros(self.db.n_refs)
+        g_shared = np.zeros(self.db.n_refs, dtype=np.int64)
+        g_median = np.zeros(self.db.n_refs, dtype=np.int64)
+        off = 0
+        for i, sh in enumerate(self.shards):
+            r = sh.n_refs
+            identity[off : off + r] = ident[i, :r]
+            g_shared[off : off + r] = shared[i, :r]
+            g_median[off : off + r] = median[i, :r]
+            off += r
+        return ScreenResult(
+            db=self.db,
+            identity=identity,
+            shared=g_shared,
+            median=g_median,
+            total_query_kmers=self.total_query_kmers,
+        )
