@@ -330,6 +330,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if not getattr(args, "dry_run", False):
+        from hymet_tpu.utils.jaxtools import (
+            apply_platform_override,
+            enable_compile_cache,
+        )
+
+        apply_platform_override()
+        enable_compile_cache()
     try:
         return args.func(args)
     except Exception as exc:  # noqa: BLE001

@@ -24,6 +24,18 @@ import numpy as np
 from hymet_tpu.io.fasta import encode_seq, iter_fasta
 from hymet_tpu.ops.minimizer import extract_minimizers_numpy
 
+
+def _extract_minimizers_host(codes, k, w):
+    """Native C++ extraction when built (~60x numpy), numpy fallback."""
+    try:
+        from hymet_tpu.io import native_io
+
+        if native_io.available():
+            return native_io.minimizers(codes, k, w)
+    except Exception:  # noqa: BLE001
+        pass
+    return extract_minimizers_numpy(codes, k, w)
+
 ASM_K = 19  # minimap2 asm10 preset (-k19)
 ASM_W = 19  # minimap2 asm10 preset (-w19)
 
@@ -62,7 +74,7 @@ class MinimizerIndex:
             names.append(name)
             lengths.append(len(seq))
             codes = encode_seq(seq)
-            h, p, st = extract_minimizers_numpy(codes, k, w)
+            h, p, st = _extract_minimizers_host(codes, k, w)
             if h.size:
                 h_parts.append(h)
                 p_parts.append(p)

@@ -23,7 +23,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 
 from hymet_tpu.io.fasta import encode_seq, iter_fasta
-from hymet_tpu.ops.hashing import kmer_hashes_numpy
+from hymet_tpu.ops.hashing import kmer_hashes_host
 
 PAD_HASH = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -132,7 +132,7 @@ def sketch_genome_file(
     for _, seq in iter_fasta(path):
         total_bp += len(seq)
         codes = encode_seq(seq)
-        h = kmer_hashes_numpy(codes, k)
+        h = kmer_hashes_host(codes, k)
         if h.size:
             parts.append(h)
     if parts:
@@ -181,7 +181,7 @@ def build_sketch_db_from_sequences(
     lens: List[int] = []
     for name, seq in named_seqs:
         codes = encode_seq(seq)
-        h = kmer_hashes_numpy(codes, k)
+        h = kmer_hashes_host(codes, k)
         sk, n = bottom_sketch_from_hashes(h, sketch_size)
         names.append(name)
         rows.append(sk)

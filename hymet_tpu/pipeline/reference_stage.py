@@ -159,6 +159,45 @@ class AssemblySummarySource:
         return None
 
 
+def build_reference_from_combined(
+    combined_fasta: str,
+    out_dir: str,
+    seqid2taxid: Optional[str] = None,
+) -> Tuple[str, str]:
+    """Preset-reference mode (the bench/ablation subset-reference path):
+    the given FASTA *is* the combined reference. Builds
+    detailed_taxonomy.tsv by mapping each sequence header through the
+    seqid->taxid table, grouping identifiers per taxid."""
+    os.makedirs(out_dir, exist_ok=True)
+    taxmap: Dict[str, str] = {}
+    if seqid2taxid and os.path.exists(seqid2taxid):
+        with open(seqid2taxid, "r", encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2:
+                    taxmap[parts[0].strip()] = parts[1].strip()
+
+    by_taxid: Dict[str, List[str]] = {}
+    combined_out = os.path.join(out_dir, "combined_genomes.fasta")
+    with _open_genome(combined_fasta) as fin, open(
+        combined_out, "w", encoding="utf-8"
+    ) as fout:
+        for line in fin:
+            if line.startswith(">"):
+                seqid = line.split()[0][1:]
+                taxid = taxmap.get(seqid) or taxmap.get(seqid.split(".", 1)[0], "Unknown TaxID")
+                by_taxid.setdefault(taxid, []).append(seqid)
+            fout.write(line)
+
+    taxonomy = os.path.join(out_dir, "detailed_taxonomy.tsv")
+    with open(taxonomy, "w", encoding="utf-8", newline="") as tax_f:
+        writer = csv.writer(tax_f, delimiter="\t")
+        writer.writerow(["GCF", "TaxID", "Identifiers"])
+        for i, (taxid, seqids) in enumerate(sorted(by_taxid.items())):
+            writer.writerow([f"SET_{i:06d}", taxid, ";".join(seqids)])
+    return combined_out, taxonomy
+
+
 def _open_genome(path: str):
     if path.endswith(".gz"):
         return gzip.open(path, "rt", encoding="utf-8", errors="ignore")

@@ -66,9 +66,14 @@ class ClassificationRun:
         os.makedirs(self.workdir, exist_ok=True)
         os.makedirs(os.path.join(cfg.outdir, "logs"), exist_ok=True)
 
-        selected_path = self._stage_screen()
-        self._stage_limit(selected_path)
-        combined, taxonomy_tsv = self._stage_reference(selected_path)
+        if cfg.reference_fasta:
+            # preset combined reference (bench subset / ablation mode):
+            # candidate selection is moot
+            combined, taxonomy_tsv = self._stage_reference_preset()
+        else:
+            selected_path = self._stage_screen()
+            self._stage_limit(selected_path)
+            combined, taxonomy_tsv = self._stage_reference(selected_path)
         paf_path = self._stage_align(combined)
         classified = self._stage_classify(paf_path, taxonomy_tsv)
         self._stage_export(classified)
@@ -134,6 +139,28 @@ class ClassificationRun:
         n = sum(1 for _ in open(selected_path))
         if n == 0:
             raise RuntimeError("candidate list empty after applying limit")
+
+    def _stage_reference_preset(self):
+        cfg = self.cfg
+        src = cfg.reference_fasta
+        st = os.stat(src)
+        key = hashlib.sha1(
+            f"{os.path.abspath(src)}:{st.st_size}:{int(st.st_mtime)}".encode()
+        ).hexdigest()
+        cache_dir = os.path.join(cfg.cache_root, key)
+        combined = os.path.join(cache_dir, "combined_genomes.fasta")
+        taxonomy = os.path.join(cache_dir, "detailed_taxonomy.tsv")
+        if os.path.exists(combined) and os.path.getsize(combined) > 0:
+            logger.info("preset reference cache hit for %s", key)
+            return combined, taxonomy
+
+        from hymet_tpu.pipeline.reference_stage import build_reference_from_combined
+
+        self._timed(
+            "reference",
+            lambda: build_reference_from_combined(src, cache_dir, cfg.seqid2taxid),
+        )
+        return combined, taxonomy
 
     def _cache_key(self, selected_path: str) -> str:
         with open(selected_path, "rb") as f:

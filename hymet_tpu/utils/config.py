@@ -34,6 +34,9 @@ class RunConfig:
     # hymet_tpu-specific
     sketch_dbs: List[str] = field(default_factory=list)  # .npz sketch DBs
     genome_catalog: Optional[str] = None  # refs.tsv or genome dir (offline source)
+    # preset combined reference (the bench/ablation "subset reference"
+    # mode: skip candidate-driven reference building entirely)
+    reference_fasta: Optional[str] = None
     seqid2taxid: Optional[str] = None
     allow_download: bool = False
     sketch_k: int = 21
@@ -66,6 +69,8 @@ class RunConfig:
             seqid2taxid=os.environ.get("SEQID2TAXID"),
             allow_download=_env("ALLOW_DOWNLOAD", "0") == "1",
             db_shards=int(_env("DB_SHARDS", "1")),
+            screen_chunk_bp=int(_env("SCREEN_CHUNK_BP", str(1 << 20))),
+            align_batch_pad=int(_env("ALIGN_BATCH_PAD", str(1 << 16))),
         )
         for k, v in overrides.items():
             if v is not None:
