@@ -205,6 +205,89 @@ def command_eval(args) -> int:
     )
 
 
+def command_prune_cache(args) -> int:
+    if _plan(
+        args,
+        [f"prune-cache: {args.cache_root} age<={args.max_age_days}d size<={args.max_size_gb}GB"],
+    ):
+        return 0
+    from hymet_tpu.pipeline.prune_cache import prune_cache
+
+    removed = prune_cache(
+        args.cache_root, args.max_age_days, args.max_size_gb, dry_run=args.no_delete
+    )
+    for p in removed:
+        print(f"[hymet-tpu] {'would remove' if args.no_delete else 'removed'} {p}")
+    return 0
+
+
+def command_subset(args) -> int:
+    if _plan(args, [f"subset: {args.input} -> {args.output} (max {args.max_seqs} seqs / {args.max_bases} bases)"]):
+        return 0
+    from hymet_tpu.data.subsets import subset_fasta
+
+    n, bases = subset_fasta(args.input, args.output, args.max_seqs, args.max_bases)
+    print(f"[hymet-tpu] wrote {n} sequences / {bases} bases to {args.output}")
+    return 0
+
+
+def command_testdataset(args) -> int:
+    if _plan(
+        args,
+        [
+            f"testdataset: {args.genome_dir} -> {args.out} "
+            f"(genomes {args.fraction_genomes}, trim {args.trim_fraction}, mutation {args.mutation_rate})"
+        ],
+    ):
+        return 0
+    from hymet_tpu.data.testdataset import build_test_dataset
+
+    gcf_map = build_test_dataset(
+        args.genome_dir,
+        args.out,
+        fraction_genomes=args.fraction_genomes,
+        trim_fraction=args.trim_fraction,
+        mutation_rate=args.mutation_rate,
+        seed=args.seed,
+    )
+    print(f"[hymet-tpu] built test dataset with {len(gcf_map)} genomes -> {args.out}")
+    return 0
+
+
+def command_cami_subsets(args) -> int:
+    if _plan(args, [f"cami-subsets: {args.fasta} + {args.mapping} -> {args.out}"]):
+        return 0
+    from hymet_tpu.data.cami_subsets import generate_cami_subsets
+    from hymet_tpu.taxonomy.db import TaxonomyDB
+
+    taxdb = (
+        TaxonomyDB.from_taxdump(args.taxonomy_dir)
+        if os.path.exists(os.path.join(args.taxonomy_dir, "names.dmp"))
+        else TaxonomyDB.from_hierarchy_tsv(
+            os.path.join(args.taxonomy_dir, "taxonomy_hierarchy.tsv")
+        )
+    )
+    out = generate_cami_subsets(args.fasta, args.mapping, taxdb, args.out)
+    for name, taxids in out.items():
+        print(f"[hymet-tpu] {name}: {len(taxids)} taxa")
+    return 0
+
+
+def command_diag(args) -> int:
+    if _plan(args, [f"diag: overlap of {args.paf} targets vs {args.taxonomy}"]):
+        return 0
+    from hymet_tpu.evalx.diagnostics import diag_overlap
+    from hymet_tpu.models.first_hit import build_id_map
+
+    id_map = build_id_map(args.taxonomy)
+    n_keys, n_targets, direct, versionless = diag_overlap(args.paf, id_map)
+    print(
+        f"[diag] id_map_keys={n_keys:,} unique_paf_targets={n_targets:,} "
+        f"direct_overlap={direct} versionless_overlap={versionless}"
+    )
+    return 0
+
+
 def command_legacy(args) -> int:
     """Legacy pipeline: the main.pl path (3 screens, download, map,
     classification.py's exact-match + LCA classifier)."""
@@ -324,6 +407,46 @@ def build_parser() -> argparse.ArgumentParser:
     _run_flags(p)
     _common(p)
     p.set_defaults(func=command_legacy)
+
+    p = sub.add_parser("prune-cache", help="Prune the reference cache by age/size")
+    p.add_argument("cache_root")
+    p.add_argument("--max-age-days", type=float)
+    p.add_argument("--max-size-gb", type=float)
+    p.add_argument("--no-delete", action="store_true", help="Report only")
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(func=command_prune_cache)
+
+    p = sub.add_parser("subset", help="Subset a FASTA by seq/base caps")
+    p.add_argument("input")
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-seqs", type=int, default=1000)
+    p.add_argument("--max-bases", type=int, default=500_000_000)
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(func=command_subset)
+
+    p = sub.add_parser("testdataset", help="Build a synthetic mutated test dataset")
+    p.add_argument("genome_dir")
+    p.add_argument("--out", required=True)
+    p.add_argument("--fraction-genomes", type=float, default=0.1)
+    p.add_argument("--trim-fraction", type=float, default=0.1)
+    p.add_argument("--mutation-rate", type=float, default=0.02)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(func=command_testdataset)
+
+    p = sub.add_parser("cami-subsets", help="Generate derived CAMI sample subsets")
+    p.add_argument("--fasta", required=True)
+    p.add_argument("--mapping", required=True, help="gsa_mapping truth TSV")
+    p.add_argument("--taxonomy-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(func=command_cami_subsets)
+
+    p = sub.add_parser("diag", help="PAF-target vs id-map overlap diagnostic")
+    p.add_argument("--paf", required=True)
+    p.add_argument("--taxonomy", required=True, help="detailed_taxonomy.tsv")
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(func=command_diag)
 
     return parser
 
