@@ -1,0 +1,173 @@
+"""Profile format converters to CAMI: ports of the ``bench/convert/*``
+stack, with taxonkit calls replaced by :class:`TaxonomyDB`.
+
+- :func:`metaphlan_to_cami` — MetaPhlAn ``k__|p__|...`` lineages
+  (``metaphlan4_to_cami.py:37-60``)
+- :func:`sourmash_gather_to_cami` — gather CSV fractions via a
+  seqid->taxid map (``sourmash_gather_to_cami.py:42-99``)
+- :func:`kreport_to_cami` — Kraken/Centrifuge report trees (lives in
+  :mod:`hymet_tpu.harness.baselines` as :func:`parse_kreport`)
+"""
+
+from __future__ import annotations
+
+import csv
+import re
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+from hymet_tpu.taxonomy.db import TaxonomyDB
+
+RANKS = ["superkingdom", "phylum", "class", "order", "family", "genus", "species"]
+
+_MP_PREFIX = {
+    "k": "superkingdom",
+    "p": "phylum",
+    "c": "class",
+    "o": "order",
+    "f": "family",
+    "g": "genus",
+    "s": "species",
+}
+
+
+def metaphlan_lineage_names(lineage: str) -> Dict[str, str]:
+    """``k__Bacteria|p__Firmicutes|...`` -> {rank: name} (underscores in
+    names become spaces, ``metaphlan4_to_cami.py:37-60``)."""
+    out: Dict[str, str] = {}
+    for comp in lineage.split("|"):
+        if "__" not in comp:
+            continue
+        prefix, name = comp.split("__", 1)
+        rank = _MP_PREFIX.get(prefix.lower())
+        if rank:
+            out[rank] = name.replace("_", " ").strip()
+    return out
+
+
+def read_metaphlan(path: str) -> List[Tuple[str, float]]:
+    rows: List[Tuple[str, float]] = []
+    with open(path, encoding="utf-8", errors="ignore") as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 2 or "__" not in parts[0]:
+                continue
+            try:
+                abundance = float(parts[1 if parts[1].replace(".", "").isdigit() else -1])
+            except ValueError:
+                continue
+            rows.append((parts[0], abundance))
+    return rows
+
+
+def metaphlan_to_cami(
+    input_path: str, out_path: str, sample_id: str, taxdb: TaxonomyDB
+) -> int:
+    """Returns the number of converted rows."""
+    from hymet_tpu.harness.baselines import write_cami_profile
+
+    records = read_metaphlan(input_path)
+    cami_rows: List[Dict[str, str]] = []
+    for lineage, abundance in records:
+        ranked = metaphlan_lineage_names(lineage)
+        target_rank = next((r for r in reversed(RANKS) if r in ranked), None)
+        if not target_rank:
+            continue
+        tid = taxdb.name2taxid(ranked[target_rank])
+        if tid:
+            ids, names = taxdb.taxpath(tid)
+        else:
+            tid = "NA"
+            ids = "|".join("NA" for _ in RANKS)
+            names = "|".join("NA" for _ in RANKS)
+        cami_rows.append(
+            {
+                "taxid": tid,
+                "rank": target_rank,
+                "taxpath": ids,
+                "taxpathsn": names,
+                "percentage": f"{abundance:.6f}",
+            }
+        )
+    write_cami_profile(out_path, cami_rows, sample_id)
+    return len(cami_rows)
+
+
+# ----------------------------------------------------------------------
+
+
+def sourmash_lookup_taxid(name: str, seqmap: Dict[str, str]) -> Optional[str]:
+    """Signature-name -> taxid via token + versionless candidates
+    (``sourmash_gather_to_cami.py:42-66``)."""
+    if not name or not name.strip():
+        return None
+    cleaned = name.strip()
+    candidates = re.split(r"[\s\|,;]+", cleaned)
+    candidates.append(cleaned.split()[0])
+    for cand in candidates:
+        cand = cand.strip()
+        if not cand:
+            continue
+        if cand in seqmap:
+            return seqmap[cand]
+        if "." in cand:
+            base = cand.split(".", 1)[0]
+            if base in seqmap:
+                return seqmap[base]
+    return None
+
+
+def sourmash_gather_to_cami(
+    gather_csv: str,
+    seqmap: Dict[str, str],
+    out_path: str,
+    sample_id: str,
+    taxdb: TaxonomyDB,
+) -> int:
+    from hymet_tpu.harness.baselines import write_cami_profile
+
+    totals: Dict[str, float] = defaultdict(float)
+    with open(gather_csv, newline="", encoding="utf-8", errors="ignore") as f:
+        reader = csv.DictReader(f)
+        frac_keys = ["f_unique_to_query", "fraction_unique_to_query", "unique_fraction"]
+        name_keys = ["name", "match_name", "filename"]
+        for row in reader:
+            if not row:
+                continue
+            frac = None
+            for key in frac_keys:
+                if row.get(key):
+                    try:
+                        frac = float(row[key])
+                        break
+                    except ValueError:
+                        continue
+            if frac is None or frac <= 0.0:
+                continue
+            name_val = next((row[k] for k in name_keys if row.get(k)), "")
+            taxid = sourmash_lookup_taxid(name_val, seqmap)
+            if taxid:
+                totals[taxid] += frac * 100.0
+
+    cami_rows: List[Dict[str, str]] = []
+    for tid, pct in sorted(totals.items(), key=lambda kv: -kv[1]):
+        ids, names = taxdb.taxpath(tid)
+        # emit at the deepest resolvable rank of the taxid
+        rank = taxdb.rank.get(taxdb.resolve(tid), "species")
+        if rank == "domain":
+            rank = "superkingdom"
+        if rank not in RANKS:
+            rank = "species"
+        cami_rows.append(
+            {
+                "taxid": tid,
+                "rank": rank,
+                "taxpath": ids,
+                "taxpathsn": names,
+                "percentage": f"{pct:.6f}",
+            }
+        )
+    write_cami_profile(out_path, cami_rows, sample_id)
+    return len(cami_rows)

@@ -668,6 +668,32 @@ def evaluate(
             paf_path=paf,
         )
 
+    # per-rank abundance diff tables + human summary (the prior
+    # evaluator's extras, reference tools/eval_cami_prior.py:435-446)
+    with open(os.path.join(outdir, "summary.txt"), "w") as w:
+        w.write("# Profile-level metrics (per rank)\n")
+        for r in RANKS:
+            l1, bc = l1_and_braycurtis(pred_prof[r], truth_prof[r])
+            pr, rc, f1, tp, fp, fn = prf_presence(pred_prof[r], truth_prof[r], presence_thresh)
+            w.write(
+                f"{r:14s}  L1={l1:.3f}  BC={bc:.3f}%  "
+                f"P/R/F1={pr:.1f}/{rc:.1f}/{f1:.1f}% (TP={tp}, FP={fp}, FN={fn})\n"
+            )
+    for r in RANKS:
+        keys = set(pred_prof[r]) | set(truth_prof[r])
+        if not keys:
+            continue
+        with open(os.path.join(outdir, f"profile_diffs_{r}.tsv"), "w", newline="") as w:
+            wr = csv.writer(w, delimiter="\t")
+            wr.writerow(["taxid", "pred_pct", "truth_pct", "diff"])
+            for k2 in sorted(
+                keys,
+                key=lambda t: -abs(pred_prof[r].get(t, 0.0) - truth_prof[r].get(t, 0.0)),
+            ):
+                a = pred_prof[r].get(k2, 0.0)
+                b = truth_prof[r].get(k2, 0.0)
+                wr.writerow([k2, f"{a:.6f}", f"{b:.6f}", f"{a - b:.6f}"])
+
     with open(os.path.join(outdir, "_debug_info.txt"), "w") as w:
         w.write(f"pred_profile_path: {pred_profile}\n")
         w.write(f"truth_profile_path: {truth_profile}\n")

@@ -194,7 +194,17 @@ class MinimizerAligner:
                 per_query[group[ch.qid]].append(ch)
 
         for i, name in enumerate(names):
-            records.extend(self._emit(name, len(seqs[i]), per_query[i]))
+            records.extend(
+                emit_paf(
+                    name,
+                    len(seqs[i]),
+                    per_query[i],
+                    self.index.names,
+                    self.index.lengths,
+                    self.index.k,
+                    self.cfg,
+                )
+            )
         return records
 
     # ------------------------------------------------------------------
@@ -243,103 +253,129 @@ class MinimizerAligner:
         n = int(n_valid)
         if n == 0:
             return []
-        qid = np.asarray(s_q[:n]).astype(np.int64)
-        seq = np.asarray(s_s[:n]).astype(np.int64)
-        sb = np.asarray(s_b[:n]).astype(np.int64)
-        qpos = np.asarray(s_p[:n]).astype(np.int64)
-        rpos = np.asarray(s_r[:n]).astype(np.int64)
-
-        # segment boundaries where (qid, seq, strand|band) changes
-        change = np.ones(n, dtype=bool)
-        change[1:] = (
-            (qid[1:] != qid[:-1]) | (seq[1:] != seq[:-1]) | (sb[1:] != sb[:-1])
+        return chains_from_sorted_anchors(
+            np.asarray(s_q[:n]).astype(np.int64),
+            np.asarray(s_s[:n]).astype(np.int64),
+            np.asarray(s_b[:n]).astype(np.int64),
+            np.asarray(s_p[:n]).astype(np.int64),
+            np.asarray(s_r[:n]).astype(np.int64),
+            k,
+            cfg,
         )
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.append(starts, n))
-        minq = np.minimum.reduceat(qpos, starts)
-        maxq = np.maximum.reduceat(qpos, starts)
-        minr = np.minimum.reduceat(rpos, starts)
-        maxr = np.maximum.reduceat(rpos, starts)
-        g_qid = qid[starts]
-        g_seq = seq[starts]
-        g_rel = (sb[starts] >> 24) & 0xF
-        g_band = sb[starts] & 0xFFFFFF
 
-        # merge adjacent bands within the same (query, seq, strand)
-        chains: List[_Chain] = []
-        i = 0
-        S = len(starts)
-        while i < S:
-            j = i + 1
-            c = _Chain(
-                qid=int(g_qid[i]),
-                seq=int(g_seq[i]),
-                rel=int(g_rel[i]),
-                count=int(counts[i]),
-                minq=int(minq[i]),
-                maxq=int(maxq[i]),
-                minr=int(minr[i]),
-                maxr=int(maxr[i]),
+
+def chains_from_sorted_anchors(
+    qid: np.ndarray,
+    seq: np.ndarray,
+    sb: np.ndarray,
+    qpos: np.ndarray,
+    rpos: np.ndarray,
+    k: int,
+    cfg: AlignerConfig,
+    seq_offset: int = 0,
+) -> List[_Chain]:
+    """Host half of the aligner: segment-reduce sorted anchor runs and
+    merge adjacent diagonal bands into chains. `seq_offset` maps
+    shard-local sequence ids back to global ids (sharded path)."""
+    n = qid.shape[0]
+    if n == 0:
+        return []
+    # segment boundaries where (qid, seq, strand|band) changes
+    change = np.ones(n, dtype=bool)
+    change[1:] = (
+        (qid[1:] != qid[:-1]) | (seq[1:] != seq[:-1]) | (sb[1:] != sb[:-1])
+    )
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, n))
+    minq = np.minimum.reduceat(qpos, starts)
+    maxq = np.maximum.reduceat(qpos, starts)
+    minr = np.minimum.reduceat(rpos, starts)
+    maxr = np.maximum.reduceat(rpos, starts)
+    g_qid = qid[starts]
+    g_seq = seq[starts]
+    g_rel = (sb[starts] >> 24) & 0xF
+    g_band = sb[starts] & 0xFFFFFF
+
+    # merge adjacent bands within the same (query, seq, strand)
+    chains: List[_Chain] = []
+    i = 0
+    S = len(starts)
+    while i < S:
+        j = i + 1
+        c = _Chain(
+            qid=int(g_qid[i]),
+            seq=int(g_seq[i]) + seq_offset,
+            rel=int(g_rel[i]),
+            count=int(counts[i]),
+            minq=int(minq[i]),
+            maxq=int(maxq[i]),
+            minr=int(minr[i]),
+            maxr=int(maxr[i]),
+        )
+        while (
+            j < S
+            and g_qid[j] == g_qid[i]
+            and g_seq[j] == g_seq[i]
+            and g_rel[j] == g_rel[i]
+            and g_band[j] - g_band[j - 1] <= 1
+        ):
+            c.count += int(counts[j])
+            c.minq = min(c.minq, int(minq[j]))
+            c.maxq = max(c.maxq, int(maxq[j]))
+            c.minr = min(c.minr, int(minr[j]))
+            c.maxr = max(c.maxr, int(maxr[j]))
+            j += 1
+        i = j
+        span_q = c.maxq - c.minq + k
+        span_r = c.maxr - c.minr + k
+        c.mlen = min(c.count * k, span_q)
+        c.blen = max(span_q, span_r)
+        if c.count >= cfg.min_cnt and c.mlen >= cfg.min_mlen:
+            chains.append(c)
+    return chains
+
+
+def emit_paf(
+    qname: str,
+    qlen: int,
+    chains: List[_Chain],
+    names,
+    lengths,
+    k: int,
+    cfg: AlignerConfig,
+) -> List[PafRecord]:
+    if not chains:
+        return []
+    chains.sort(key=lambda c: -c.mlen)
+    best = chains[0].mlen
+    second = chains[1].mlen if len(chains) > 1 else 0
+    out: List[PafRecord] = []
+    for rank, c in enumerate(chains[: 1 + cfg.max_secondary]):
+        if rank > 0 and c.mlen < cfg.pri_ratio * best:
+            continue
+        primary = rank == 0
+        mapq = 0
+        if primary:
+            frac = second / best if best else 1.0
+            mapq = int(min(60, max(0, 60 * (1.0 - frac))))
+        out.append(
+            PafRecord(
+                qname=qname,
+                qlen=qlen,
+                qstart=c.minq,
+                qend=c.maxq + k,
+                strand="-" if c.rel else "+",
+                tname=names[c.seq],
+                tlen=int(lengths[c.seq]),
+                tstart=c.minr,
+                tend=c.maxr + k,
+                nmatch=c.mlen,
+                blocklen=c.blen,
+                mapq=mapq,
+                tags={
+                    "tp": f"A:{'P' if primary else 'S'}",
+                    "cm": f"i:{c.count}",
+                },
             )
-            while (
-                j < S
-                and g_qid[j] == g_qid[i]
-                and g_seq[j] == g_seq[i]
-                and g_rel[j] == g_rel[i]
-                and g_band[j] - g_band[j - 1] <= 1
-            ):
-                c.count += int(counts[j])
-                c.minq = min(c.minq, int(minq[j]))
-                c.maxq = max(c.maxq, int(maxq[j]))
-                c.minr = min(c.minr, int(minr[j]))
-                c.maxr = max(c.maxr, int(maxr[j]))
-                j += 1
-            i = j
-            span_q = c.maxq - c.minq + k
-            span_r = c.maxr - c.minr + k
-            c.mlen = min(c.count * k, span_q)
-            c.blen = max(span_q, span_r)
-            if c.count >= cfg.min_cnt and c.mlen >= cfg.min_mlen:
-                chains.append(c)
-        return chains
-
-    # ------------------------------------------------------------------
-
-    def _emit(self, qname: str, qlen: int, chains: List[_Chain]) -> List[PafRecord]:
-        if not chains:
-            return []
-        cfg = self.cfg
-        k = self.index.k
-        chains.sort(key=lambda c: -c.mlen)
-        best = chains[0].mlen
-        second = chains[1].mlen if len(chains) > 1 else 0
-        out: List[PafRecord] = []
-        for rank, c in enumerate(chains[: 1 + cfg.max_secondary]):
-            if rank > 0 and c.mlen < cfg.pri_ratio * best:
-                continue
-            primary = rank == 0
-            mapq = 0
-            if primary:
-                frac = second / best if best else 1.0
-                mapq = int(min(60, max(0, 60 * (1.0 - frac))))
-            out.append(
-                PafRecord(
-                    qname=qname,
-                    qlen=qlen,
-                    qstart=c.minq,
-                    qend=c.maxq + k,
-                    strand="-" if c.rel else "+",
-                    tname=self.index.names[c.seq],
-                    tlen=int(self.index.lengths[c.seq]),
-                    tstart=c.minr,
-                    tend=c.maxr + k,
-                    nmatch=c.mlen,
-                    blocklen=c.blen,
-                    mapq=mapq,
-                    tags={
-                        "tp": f"A:{'P' if primary else 'S'}",
-                        "cm": f"i:{c.count}",
-                    },
-                )
-            )
-        return out
+        )
+    return out

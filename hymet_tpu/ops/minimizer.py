@@ -221,7 +221,8 @@ def extract_minimizers_jax(
         [jnp.full((B, 1), -1, dtype=jnp.int32), m_idx[:, :-1]], axis=1
     )
     new_pos = m_idx != prev_idx
-    not_bad = ~((m_hi == _BAD) & (m_lo == _BAD))
+    bad = jnp.uint32(_BAD)  # typed: a bare python int overflows int32 when x64 is off
+    not_bad = ~((m_hi == bad) & (m_lo == bad))
     keep = new_pos & not_bad
     m_strand = jnp.take_along_axis(strand, m_idx, axis=1)
     return m_hi, m_lo, m_idx, m_strand, keep

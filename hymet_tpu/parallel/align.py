@@ -1,0 +1,230 @@
+"""Sharded minimizer alignment over the ("data", "db") mesh.
+
+The minimap2 ``-I2g`` batching (reference ``scripts/minimap2.sh:12``,
+``run_hymet_cami.sh:76-80``) bounded index RAM by processing reference
+chunks *sequentially*; here index shards live on separate devices and are
+searched *in parallel*: every db shard holds a slice of the sorted
+minimizer index, receives the full (replicated) compacted query-minimizer
+batch, runs the anchor double-binary-search + expansion + 4-key sort
+locally, and the host merges per-shard chains (reference sequences are
+disjoint across shards, so the merge is pure concatenation before
+primary/secondary selection).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hymet_tpu.io.fasta import encode_seq
+from hymet_tpu.io.minimizer_index import MinimizerIndex
+from hymet_tpu.io.paf import PafRecord
+from hymet_tpu.models.aligner import (
+    AlignerConfig,
+    _collect_and_sort_anchors,
+    chains_from_sorted_anchors,
+    emit_paf,
+)
+from hymet_tpu.ops.minimizer import extract_minimizers_jax
+
+
+class ShardedMinimizerAligner:
+    """Multi-device MinimizerAligner with the same map_batch contract."""
+
+    def __init__(
+        self,
+        mesh,
+        index: MinimizerIndex,
+        config: Optional[AlignerConfig] = None,
+    ):
+        self.mesh = mesh
+        self.index = index
+        self.cfg = config or AlignerConfig()
+        n_db = mesh.shape["db"]
+        self.shards = index.shard(n_db)
+        # global seq-id offset per shard (shard() renumbers locally)
+        bounds = np.linspace(0, len(index.names), n_db + 1).astype(int)
+        self.seq_offsets = bounds[:-1]
+
+        M = max(max((s.n_minimizers for s in self.shards), default=1), 1)
+        idx_hi = np.full((n_db, M), 0xFFFFFFFF, dtype=np.uint32)
+        idx_lo = np.full((n_db, M), 0xFFFFFFFF, dtype=np.uint32)
+        idx_seq = np.zeros((n_db, M), dtype=np.int32)
+        idx_pos = np.zeros((n_db, M), dtype=np.int32)
+        idx_strand = np.zeros((n_db, M), dtype=np.int32)
+        for i, sh in enumerate(self.shards):
+            m = sh.n_minimizers
+            idx_hi[i, :m] = (sh.hashes >> np.uint64(32)).astype(np.uint32)
+            idx_lo[i, :m] = (sh.hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            idx_seq[i, :m] = sh.seq_id
+            idx_pos[i, :m] = sh.pos
+            idx_strand[i, :m] = sh.strand.astype(np.int32)
+
+        db_shard = NamedSharding(mesh, P("db", None))
+        self._idx_hi = jax.device_put(idx_hi, db_shard)
+        self._idx_lo = jax.device_put(idx_lo, db_shard)
+        self._idx_seq = jax.device_put(idx_seq, db_shard)
+        self._idx_pos = jax.device_put(idx_pos, db_shard)
+        self._idx_strand = jax.device_put(idx_strand, db_shard)
+        self._collect = self._make_collect()
+
+    def _make_collect(self):
+        mesh = self.mesh
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=())
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("db", None),
+                P("db", None),
+                P("db", None),
+                P("db", None),
+                P("db", None),
+                P(),
+                P(),
+                P(),
+                P(),
+                P(),
+                P(),
+            ),
+            out_specs=(
+                P("db", None),
+                P("db", None),
+                P("db", None),
+                P("db", None),
+                P("db", None),
+                P("db"),
+            ),
+            check_vma=False,
+        )
+        def collect(i_hi, i_lo, i_seq, i_pos, i_str, q_hi, q_lo, qpos, qstrand, qid, q_valid):
+            s_q, s_s, s_b, s_p, s_r, n_valid = _collect_and_sort_anchors(
+                i_hi[0],
+                i_lo[0],
+                i_seq[0],
+                i_pos[0],
+                i_str[0],
+                q_hi,
+                q_lo,
+                qpos,
+                qstrand,
+                qid,
+                q_valid,
+                cfg.max_occ,
+                cfg.band_bits,
+            )
+            return (
+                s_q[None, :],
+                s_s[None, :],
+                s_b[None, :],
+                s_p[None, :],
+                s_r[None, :],
+                n_valid[None],
+            )
+
+        return collect
+
+    # ------------------------------------------------------------------
+
+    def map_batch(
+        self, names: Sequence[str], seqs: Sequence[bytes]
+    ) -> List[PafRecord]:
+        k, w = self.index.k, self.index.w
+        cfg = self.cfg
+        records: List[PafRecord] = []
+        if self.index.n_minimizers == 0:
+            return records
+
+        per_query: dict = {i: [] for i in range(len(seqs))}
+        # one padded batch (simpler than the single-device bucketing; the
+        # sharded path targets large uniform workloads)
+        pad = -(-max(max((len(s) for s in seqs), default=1), k + w) // cfg.batch_pad) * cfg.batch_pad
+        for base in range(0, len(seqs), 64):
+            group = list(range(base, min(base + 64, len(seqs))))
+            batch = np.full((len(group), pad), 4, dtype=np.uint8)
+            for row, i in enumerate(group):
+                codes = encode_seq(seqs[i])
+                batch[row, : codes.shape[0]] = codes
+            for ch in self._chains_for_batch(batch):
+                per_query[group[ch.qid]].append(ch)
+
+        for i, name in enumerate(names):
+            records.extend(
+                emit_paf(
+                    name,
+                    len(seqs[i]),
+                    per_query[i],
+                    self.index.names,
+                    self.index.lengths,
+                    k,
+                    cfg,
+                )
+            )
+        return records
+
+    def _chains_for_batch(self, batch: np.ndarray):
+        k = self.index.k
+        cfg = self.cfg
+        repl = NamedSharding(self.mesh, P())
+        m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(
+            jax.device_put(batch, repl), k, self.index.w
+        )
+        keep = np.asarray(m_keep)
+        b_idx, w_idx = np.nonzero(keep)
+        n_min = b_idx.shape[0]
+        if n_min == 0:
+            return []
+        bucket = max(1024, 1 << int(np.ceil(np.log2(n_min))))
+        pad = bucket - n_min
+
+        def flat(arr):
+            vals = np.asarray(arr)[b_idx, w_idx]
+            return np.concatenate([vals, np.zeros(pad, dtype=vals.dtype)])
+
+        put = lambda x: jax.device_put(np.ascontiguousarray(x), repl)  # noqa: E731
+        s_q, s_s, s_b, s_p, s_r, n_valid = self._collect(
+            self._idx_hi,
+            self._idx_lo,
+            self._idx_seq,
+            self._idx_pos,
+            self._idx_strand,
+            put(flat(m_hi)),
+            put(flat(m_lo)),
+            put(flat(m_pos)),
+            put(flat(m_strand)),
+            put(np.concatenate([b_idx.astype(np.int32), np.zeros(pad, np.int32)])),
+            put(np.concatenate([np.ones(n_min, bool), np.zeros(pad, bool)])),
+        )
+        s_q = np.asarray(s_q)
+        s_s = np.asarray(s_s)
+        s_b = np.asarray(s_b)
+        s_p = np.asarray(s_p)
+        s_r = np.asarray(s_r)
+        n_valid = np.asarray(n_valid)
+
+        chains = []
+        for shard_i in range(s_q.shape[0]):
+            n = int(n_valid[shard_i])
+            if n == 0:
+                continue
+            chains.extend(
+                chains_from_sorted_anchors(
+                    s_q[shard_i, :n].astype(np.int64),
+                    s_s[shard_i, :n].astype(np.int64),
+                    s_b[shard_i, :n].astype(np.int64),
+                    s_p[shard_i, :n].astype(np.int64),
+                    s_r[shard_i, :n].astype(np.int64),
+                    k,
+                    cfg,
+                    seq_offset=int(self.seq_offsets[shard_i]),
+                )
+            )
+        return chains

@@ -103,6 +103,7 @@ class ClassificationRun:
             labels = [
                 os.path.splitext(os.path.basename(p))[0] for p in cfg.sketch_dbs
             ]
+            mesh = self._mesh()
             return run_screen_stage(
                 dbs,
                 [cfg.input_fasta],
@@ -110,10 +111,32 @@ class ClassificationRun:
                 initial_threshold=cfg.mash_thresh,
                 db_labels=labels,
                 chunk_bp=cfg.screen_chunk_bp,
+                mesh=mesh,
             )
 
         self._timed("screen", run)
         return selected
+
+    def _mesh(self):
+        """("data","db") mesh when multi-device sharding is configured
+        (db_shards > 1) and enough devices exist; None = single device."""
+        cfg = self.cfg
+        if cfg.db_shards <= 1:
+            return None
+        import jax
+
+        if len(jax.devices()) < cfg.db_shards:
+            logger.warning(
+                "db_shards=%d but only %d devices; running single-device",
+                cfg.db_shards,
+                len(jax.devices()),
+            )
+            return None
+        from hymet_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        data = max(1, n // cfg.db_shards)
+        return make_mesh(data=data, db=cfg.db_shards, devices=jax.devices()[: data * cfg.db_shards])
 
     def _stage_limit(self, selected_path: str) -> None:
         cfg = self.cfg
@@ -220,9 +243,17 @@ class ClassificationRun:
                     combined, k=cfg.align_k, w=cfg.align_w
                 )
                 index.save(idx_path)
-            aligner = MinimizerAligner(
-                index, AlignerConfig(batch_pad=cfg.align_batch_pad)
-            )
+            mesh = self._mesh()
+            if mesh is not None:
+                from hymet_tpu.parallel.align import ShardedMinimizerAligner
+
+                aligner = ShardedMinimizerAligner(
+                    mesh, index, AlignerConfig(batch_pad=cfg.align_batch_pad)
+                )
+            else:
+                aligner = MinimizerAligner(
+                    index, AlignerConfig(batch_pad=cfg.align_batch_pad)
+                )
             qnames, qseqs = read_fasta(cfg.input_fasta)
             records = aligner.map_batch(qnames, qseqs)
             write_paf(paf_path, records)

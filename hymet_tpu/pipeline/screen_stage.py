@@ -45,16 +45,23 @@ def screen_queries(
     query_files: Sequence[str],
     chunk_bp: int = 1 << 20,
     pvalue_max: float = DEFAULT_PVALUE_MAX,
+    mesh=None,
 ) -> List[ScreenRow]:
     """Stream all sequences of all query files through the screen engine.
 
     Sequences are chunked to `chunk_bp` with k-1 overlap so no window is
     lost; chunks are batched as single rows (ragged batching happens in
-    the engine's jit cache by chunk size).
+    the engine's jit cache by chunk size). With a mesh, the db-sharded
+    multi-device engine is used instead.
     """
     import jax.numpy as jnp
 
-    eng = ScreenEngine(db)
+    if mesh is not None:
+        from hymet_tpu.parallel.screen import ShardedScreenEngine
+
+        eng = ShardedScreenEngine(mesh, db)
+    else:
+        eng = ScreenEngine(db)
     k = db.k
     for qf in query_files:
         for _, seq in iter_fasta(qf):
@@ -68,8 +75,12 @@ def screen_queries(
                 end = min(L, start + step)
                 chunk = codes[start:end]
                 if chunk.shape[0] >= k:
-                    padded = _pad_chunk(chunk, step)
-                    eng.update_codes(jnp.asarray(padded[None, :]))
+                    padded = _pad_chunk(chunk, step)[None, :]
+                    # sharded engine device_puts numpy itself (avoids a
+                    # default-device round trip)
+                    eng.update_codes(
+                        padded if mesh is not None else jnp.asarray(padded)
+                    )
                 if end == L:
                     break
                 start = end - (k - 1)
@@ -154,6 +165,7 @@ def run_screen_stage(
     initial_threshold: float = 0.9,
     db_labels: Optional[Sequence[str]] = None,
     chunk_bp: int = 1 << 20,
+    mesh=None,
 ) -> List[str]:
     """Full stage over multiple sketch DBs (the reference screens sketch1,
     sketch2, sketch3 and unions the selections, ``run_hymet_cami.sh:83-98``).
@@ -165,7 +177,7 @@ def run_screen_stage(
     labels = list(db_labels) if db_labels else [f"db{i+1}" for i in range(len(dbs))]
     union: List[str] = []
     for db, label in zip(dbs, labels):
-        rows = screen_queries(db, query_files, chunk_bp=chunk_bp)
+        rows = screen_queries(db, query_files, chunk_bp=chunk_bp, mesh=mesh)
         write_screen_tab(os.path.join(outdir, f"{label}_screen.tab"), rows)
         srt = unique_sorted_rows(rows)
         write_screen_tab(os.path.join(outdir, f"{label}_sorted.tab"), srt)

@@ -183,6 +183,20 @@ def test_cache_reuse_and_idempotence(world, tmp_path):
     assert "screen" not in run3.timings or run3.timings.get("align", 0) < 0.5
 
 
+def test_full_run_sharded_screen_matches(world, tmp_path):
+    """db_shards=4 over the virtual 8-device mesh must classify
+    identically to the single-device run."""
+    cfg1 = _config(world, tmp_path / "single")
+    out1 = ClassificationRun(cfg1).execute()
+
+    cfg2 = _config(world, tmp_path / "sharded")
+    cfg2.db_shards = 4
+    cfg2.cache_root = str(tmp_path / "cache2")
+    out2 = ClassificationRun(cfg2).execute()
+
+    assert open(out1, "rb").read() == open(out2, "rb").read()
+
+
 def test_fallback_on_missing_hierarchy(world, tmp_path):
     """With an empty hierarchy (no taxids resolvable to lineages), the
     primary classifier still writes rows; with an empty taxonomy TSV the
