@@ -63,27 +63,46 @@ def screen_queries(
     else:
         eng = ScreenEngine(db)
     k = db.k
+
+    # pack chunks into [ROWS, chunk_bp] batches: one device dispatch per
+    # ROWS chunks instead of per chunk (8x fewer dispatches, and short
+    # contigs share a batch instead of each paying full padding)
+    ROWS = 8
+    buf = np.full((ROWS, chunk_bp), 4, dtype=np.uint8)
+    buf_row = 0
+
+    def flush():
+        nonlocal buf_row, buf
+        if buf_row == 0:
+            return
+        batch = buf if buf_row == ROWS else buf[:buf_row].copy()
+        if mesh is not None:
+            eng.update_codes(batch)  # sharded engine device_puts numpy
+        else:
+            eng.update_codes(jnp.asarray(batch))
+        buf = np.full((ROWS, chunk_bp), 4, dtype=np.uint8)
+        buf_row = 0
+
     for qf in query_files:
         for _, seq in iter_fasta(qf):
             codes = encode_seq(seq)
             L = codes.shape[0]
             if L < k:
                 continue
-            step = chunk_bp
             start = 0
             while start < L:
-                end = min(L, start + step)
+                end = min(L, start + chunk_bp)
                 chunk = codes[start:end]
                 if chunk.shape[0] >= k:
-                    padded = _pad_chunk(chunk, step)[None, :]
-                    # sharded engine device_puts numpy itself (avoids a
-                    # default-device round trip)
-                    eng.update_codes(
-                        padded if mesh is not None else jnp.asarray(padded)
-                    )
+                    buf[buf_row, : chunk.shape[0]] = chunk
+                    buf[buf_row, chunk.shape[0] :] = 4
+                    buf_row += 1
+                    if buf_row == ROWS:
+                        flush()
                 if end == L:
                     break
                 start = end - (k - 1)
+    flush()
     res = eng.finalize()
     return screen_rows_filtered(res, pvalue_max)
 

@@ -35,61 +35,7 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def mini_taxdb():
-    """A small hand-built taxonomy covering the Zymo mock community species,
-    mirroring the lineages in the in-repo truth profile
-    (reference case/truth/zymo_mc/truth_profile.cami.tsv)."""
-    from hymet_tpu.taxonomy import TaxonomyDB
+    """The curated Zymo-panel taxonomy (package asset)."""
+    from hymet_tpu.data.zymo_taxonomy import zymo_taxdb
 
-    # (taxid, name, rank, parent)
-    records = [
-        ("131567", "cellular organisms", "no rank", "1"),
-        ("2", "Bacteria", "superkingdom", "131567"),
-        ("2759", "Eukaryota", "superkingdom", "131567"),
-        ("1239", "Bacillota", "phylum", "2"),
-        ("1224", "Pseudomonadota", "phylum", "2"),
-        ("91061", "Bacilli", "class", "1239"),
-        ("1236", "Gammaproteobacteria", "class", "1224"),
-        ("1385", "Bacillales", "order", "91061"),
-        ("186826", "Lactobacillales", "order", "91061"),
-        ("91347", "Enterobacterales", "order", "1236"),
-        ("72274", "Pseudomonadales", "order", "1236"),
-        ("186817", "Bacillaceae", "family", "1385"),
-        ("90964", "Staphylococcaceae", "family", "1385"),
-        ("81852", "Enterococcaceae", "family", "186826"),
-        ("33958", "Lactobacillaceae", "family", "186826"),
-        ("1653", "Listeriaceae", "family", "1385"),
-        ("543", "Enterobacteriaceae", "family", "91347"),
-        ("135621", "Pseudomonadaceae", "family", "72274"),
-        ("1386", "Bacillus", "genus", "186817"),
-        ("1279", "Staphylococcus", "genus", "90964"),
-        ("1350", "Enterococcus", "genus", "81852"),
-        ("2742598", "Limosilactobacillus", "genus", "33958"),
-        ("1637", "Listeria", "genus", "1653"),
-        ("561", "Escherichia", "genus", "543"),
-        ("590", "Salmonella", "genus", "543"),
-        ("286", "Pseudomonas", "genus", "135621"),
-        ("1423", "Bacillus subtilis", "species", "1386"),
-        ("1280", "Staphylococcus aureus", "species", "1279"),
-        ("1351", "Enterococcus faecalis", "species", "1350"),
-        ("1613", "Limosilactobacillus fermentum", "species", "2742598"),
-        ("1639", "Listeria monocytogenes", "species", "1637"),
-        ("562", "Escherichia coli", "species", "561"),
-        ("28901", "Salmonella enterica", "species", "590"),
-        ("287", "Pseudomonas aeruginosa", "species", "286"),
-        # fungi
-        ("4890", "Ascomycota", "phylum", "2759"),
-        ("5204", "Basidiomycota", "phylum", "2759"),
-        ("4891", "Saccharomycetes", "class", "4890"),
-        ("155619", "Tremellomycetes", "class", "5204"),
-        ("4892", "Saccharomycetales", "order", "4891"),
-        ("5234", "Tremellales", "order", "155619"),
-        ("4893", "Saccharomycetaceae", "family", "4892"),
-        ("1964185", "Cryptococcaceae", "family", "5234"),
-        ("4930", "Saccharomyces", "genus", "4893"),
-        ("5206", "Cryptococcus", "genus", "1964185"),
-        ("4932", "Saccharomyces cerevisiae", "species", "4930"),
-        ("5207", "Cryptococcus neoformans", "species", "5206"),
-        # a strain for strain-rank testing
-        ("511145", "Escherichia coli str. K-12 substr. MG1655", "strain", "562"),
-    ]
-    return TaxonomyDB.from_records(records)
+    return zymo_taxdb()
