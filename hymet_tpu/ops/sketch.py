@@ -44,17 +44,8 @@ def _less64(a_hi, a_lo, b_hi, b_lo):
     return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
 
 
-@functools.partial(jax.jit, donate_argnums=(2,))
-def screen_count_batch(
-    db_hi: jax.Array,  # [F] uint32 — sorted-unique flat DB hashes (hi limb)
-    db_lo: jax.Array,  # [F] uint32
-    counts: jax.Array,  # [F] int32 — running occurrence counts (donated)
-    q_hi: jax.Array,  # [N] uint32 — query k-mer hashes
-    q_lo: jax.Array,  # [N] uint32
-    q_valid: jax.Array,  # [N] bool
-) -> jax.Array:
-    """One streaming update: binary-search every query hash in the flat DB
-    array and add its occurrence to `counts`."""
+def _count_impl(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
+    """Trace-time body shared by the standalone and fused updates."""
     F = db_hi.shape[0]
     steps = max(1, int(math.ceil(math.log2(F + 1))))  # F+1 insertion points
 
@@ -73,6 +64,48 @@ def screen_count_batch(
     pos = jnp.clip(lo, 0, F - 1)
     found = (db_hi[pos] == q_hi) & (db_lo[pos] == q_lo) & q_valid & (lo < F)
     return counts.at[pos].add(found.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def screen_count_batch(
+    db_hi: jax.Array,  # [F] uint32 — sorted-unique flat DB hashes (hi limb)
+    db_lo: jax.Array,  # [F] uint32
+    counts: jax.Array,  # [F] int32 — running occurrence counts (donated)
+    q_hi: jax.Array,  # [N] uint32 — query k-mer hashes
+    q_lo: jax.Array,  # [N] uint32
+    q_valid: jax.Array,  # [N] bool
+) -> jax.Array:
+    """One streaming update: binary-search every query hash in the flat DB
+    array and add its occurrence to `counts`."""
+    return _count_impl(db_hi, db_lo, counts, q_hi, q_lo, q_valid)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "use_pallas"), donate_argnums=(2,)
+)
+def screen_update_fused(
+    db_hi: jax.Array,
+    db_lo: jax.Array,
+    counts: jax.Array,  # donated
+    codes: jax.Array,  # [B, L] uint8
+    k: int,
+    use_pallas: bool,
+) -> jax.Array:
+    """Hash + count as ONE compiled program. Composing two separate jits
+    bounces the ~75 MB of intermediate hash arrays through the host
+    runtime between calls — measured 2.25 s/update over a remote-device
+    link vs ~1 ms fused."""
+    if use_pallas:
+        from hymet_tpu.ops.pallas_kernels import kmer_hashes_pallas
+
+        hi, lo, valid = kmer_hashes_pallas(
+            codes, k, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        hi, lo, valid = kmer_hashes_jax(codes, k)
+    return _count_impl(
+        db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid.reshape(-1)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -167,15 +200,27 @@ class ScreenEngine:
         flag = os.environ.get("HYMET_PALLAS_HASH")
         on_tpu = jax.default_backend() == "tpu"
         use_pallas = flag == "1" or (flag != "0" and on_tpu)
-        if use_pallas:
-            from hymet_tpu.ops.pallas_kernels import kmer_hashes_pallas
+        if self.db_hi.shape[0] == 0:
+            if self.track_kmers:
+                self._count_kmers_host(codes)
+            return
+        self.counts = screen_update_fused(
+            self.db_hi, self.db_lo, self.counts, codes, self.db.k, use_pallas
+        )
+        if self.track_kmers:
+            self._count_kmers_host(codes)
 
-            hi, lo, valid = kmer_hashes_pallas(
-                codes, self.db.k, interpret=not on_tpu
-            )
-        else:
-            hi, lo, valid = kmer_hashes_jax(codes, self.db.k)
-        self.update(hi, lo, valid)
+    def _count_kmers_host(self, codes) -> None:
+        """Exact valid-window count for p-values (host mirror of the
+        kernel's validity rule; avoids pulling device masks back)."""
+        k = self.db.k
+        arr = np.asarray(codes)
+        inv = (arr >= 4).astype(np.int32)
+        csum = np.concatenate(
+            [np.zeros((arr.shape[0], 1), np.int32), np.cumsum(inv, axis=1)],
+            axis=1,
+        )
+        self.total_query_kmers += int(((csum[:, k:] - csum[:, :-k]) == 0).sum())
 
     def finalize(self) -> "ScreenResult":
         identity, shared, median = screen_scores(
