@@ -200,9 +200,24 @@ def command_eval(args) -> int:
         truth_profile=args.truth_profile,
         pred_contigs=args.pred_contigs,
         truth_contigs=args.truth_contigs,
+        pred_fasta=args.pred_fasta,
+        truth_fasta=args.truth_fasta,
         taxonomy_dir=args.taxonomy_dir,
+        taxmap=args.taxmap,
+        paf=args.paf,
+        presence_thresh=args.presence_thresh,
         outdir=args.out,
     )
+
+
+def command_fetch(args) -> int:
+    if _plan(args, [f"fetch: manifest={args.manifest}"]):
+        return 0
+    from hymet_tpu.harness.fetch import fetch_manifest_assets
+
+    ok, failed = fetch_manifest_assets(args.manifest)
+    print(f"[hymet-tpu] fetched/present: {len(ok)}, failed: {len(failed)}")
+    return 1 if failed else 0
 
 
 def command_prune_cache(args) -> int:
@@ -398,10 +413,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--truth-profile")
     p.add_argument("--pred-contigs")
     p.add_argument("--truth-contigs")
+    p.add_argument("--pred-fasta", help="for MD5/remap contig pairing")
+    p.add_argument("--truth-fasta")
     p.add_argument("--taxonomy-dir")
+    p.add_argument("--taxmap", help="detailed_taxonomy.tsv for the id-map cascade")
+    p.add_argument("--paf", help="alignment PAF for the first-hit fallback")
+    p.add_argument("--presence-thresh", type=float, default=0.1)
     p.add_argument("--out", required=True)
     p.add_argument("--dry-run", action="store_true")
     p.set_defaults(func=command_eval)
+
+    p = sub.add_parser("fetch", help="Fetch manifest *_url assets (idempotent)")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--dry-run", action="store_true")
+    p.set_defaults(func=command_fetch)
 
     p = sub.add_parser("legacy", help="Legacy pipeline (main.pl semantics)")
     _run_flags(p)

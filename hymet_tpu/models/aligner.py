@@ -49,6 +49,69 @@ class AlignerConfig:
     batch_pad: int = 1 << 16  # query padding quantum
 
 
+@functools.partial(jax.jit, static_argnames=("k", "w", "max_occ", "band_bits", "cap"))
+def _extract_collect_sort_fused(
+    idx_hi,
+    idx_lo,
+    idx_seq,
+    idx_pos,
+    idx_strand,
+    batch,  # [B, L] uint8 codes
+    k: int,
+    w: int,
+    max_occ: int,
+    band_bits: int,
+    cap: int,
+):
+    """Fully-fused device path: minimizer extraction -> on-device
+    compaction (sort kept-first, slice to `cap`) -> anchor search ->
+    4-key sort. One compiled program, no [B, NW] intermediates ever reach
+    the host (the split pipeline pulled ~5 arrays x B x NW for host
+    compaction — megabytes per batch across the host link).
+
+    `cap` must exceed the kept-minimizer count (density ~2/(w+1); cap of
+    NW/4 is ~2.5x headroom). Overflow is detectable: returned n_kept >
+    cap means truncation.
+    """
+    m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(batch, k, w)
+    B, NW = m_hi.shape
+    qid = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, NW)
+    ).reshape(-1)
+    not_keep = (~m_keep).reshape(-1).astype(jnp.uint32)
+    _, c_hi, c_lo, c_pos, c_strand, c_qid = jax.lax.sort(
+        (
+            not_keep,
+            m_hi.reshape(-1),
+            m_lo.reshape(-1),
+            m_pos.reshape(-1).astype(jnp.uint32),
+            m_strand.reshape(-1).astype(jnp.uint32),
+            qid.astype(jnp.uint32),
+        ),
+        dimension=0,
+        num_keys=1,
+    )
+    n_kept = jnp.sum(m_keep.astype(jnp.int32))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+    valid = iota < n_kept
+    out = _collect_and_sort_anchors(
+        idx_hi,
+        idx_lo,
+        idx_seq,
+        idx_pos,
+        idx_strand,
+        c_hi[:cap],
+        c_lo[:cap],
+        c_pos[:cap].astype(jnp.int32),
+        c_strand[:cap].astype(jnp.int32),
+        c_qid[:cap].astype(jnp.int32),
+        valid,
+        max_occ,
+        band_bits,
+    )
+    return out + (n_kept,)
+
+
 @functools.partial(jax.jit, static_argnames=("max_occ", "band_bits"))
 def _collect_and_sort_anchors(
     idx_hi,
@@ -212,44 +275,28 @@ class MinimizerAligner:
     def _chains_for_batch(self, batch) -> List[_Chain]:
         k = self.index.k
         cfg = self.cfg
-        m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(
-            batch, k, self.index.w
-        )
-        # host compaction: only kept minimizers (~2/(w+1) density) go into
-        # the anchor expansion — a ~10x cut before the [N, max_occ] grid
-        keep = np.asarray(m_keep)
-        b_idx, w_idx = np.nonzero(keep)
-        n_min = b_idx.shape[0]
-        if n_min == 0:
-            return []
-        bucket = max(1024, 1 << int(np.ceil(np.log2(n_min))))
-        pad = bucket - n_min
-
-        def flat(arr, fill=0):
-            vals = np.asarray(arr)[b_idx, w_idx]
-            return np.concatenate([vals, np.full(pad, fill, dtype=vals.dtype)])
-
-        s_q, s_s, s_b, s_p, s_r, n_valid = _collect_and_sort_anchors(
+        B, L = batch.shape
+        NW = L - k - self.index.w + 2
+        # on-device compaction cap: minimizer density ~2/(w+1) => NW/4 is
+        # ~2.5x headroom; power-of-two for compile-cache stability
+        cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
+        s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = _extract_collect_sort_fused(
             self._idx_hi,
             self._idx_lo,
             self._idx_seq,
             self._idx_pos,
             self._idx_strand,
-            jnp.asarray(flat(m_hi)),
-            jnp.asarray(flat(m_lo)),
-            jnp.asarray(flat(m_pos)),
-            jnp.asarray(flat(m_strand)),
-            jnp.asarray(
-                np.concatenate(
-                    [b_idx.astype(np.int32), np.zeros(pad, dtype=np.int32)]
-                )
-            ),
-            jnp.asarray(
-                np.concatenate([np.ones(n_min, bool), np.zeros(pad, bool)])
-            ),
+            batch if hasattr(batch, "devices") else jnp.asarray(batch),
+            k,
+            self.index.w,
             cfg.max_occ,
             cfg.band_bits,
+            cap,
         )
+        if int(n_kept) > cap:  # pathological minimizer density
+            raise RuntimeError(
+                f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
+            )
         n = int(n_valid)
         if n == 0:
             return []

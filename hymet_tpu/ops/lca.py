@@ -160,8 +160,11 @@ def bucket_pad(
     for b, qidx in assignments.items():
         if not qidx:
             continue
-        rows = np.full((len(qidx), b), -1, dtype=np.int32)
-        weights = np.zeros((len(qidx), b), dtype=np.float64)
+        # pad the query dimension to a power of two as well: one compile
+        # per (Q-bucket, H-bucket) pair instead of per exact batch size
+        q_pad = 1 << max(3, int(np.ceil(np.log2(len(qidx)))))
+        rows = np.full((q_pad, b), -1, dtype=np.int32)
+        weights = np.zeros((q_pad, b), dtype=np.float64)
         for i, qi in enumerate(qidx):
             entries = entries_per_query[qi][:b]
             for j, (row, wgt) in enumerate(entries):

@@ -27,11 +27,10 @@ from hymet_tpu.io.minimizer_index import MinimizerIndex
 from hymet_tpu.io.paf import PafRecord
 from hymet_tpu.models.aligner import (
     AlignerConfig,
-    _collect_and_sort_anchors,
+    _extract_collect_sort_fused,
     chains_from_sorted_anchors,
     emit_paf,
 )
-from hymet_tpu.ops.minimizer import extract_minimizers_jax
 
 
 class ShardedMinimizerAligner:
@@ -72,13 +71,16 @@ class ShardedMinimizerAligner:
         self._idx_seq = jax.device_put(idx_seq, db_shard)
         self._idx_pos = jax.device_put(idx_pos, db_shard)
         self._idx_strand = jax.device_put(idx_strand, db_shard)
-        self._collect = self._make_collect()
+        self._collect_cache = {}
 
-    def _make_collect(self):
+    def _get_collect(self, cap: int):
+        if cap in self._collect_cache:
+            return self._collect_cache[cap]
         mesh = self.mesh
         cfg = self.cfg
+        k, w = self.index.k, self.index.w
 
-        @functools.partial(jax.jit, static_argnames=())
+        @jax.jit
         @functools.partial(
             shard_map,
             mesh=mesh,
@@ -89,11 +91,6 @@ class ShardedMinimizerAligner:
                 P("db", None),
                 P("db", None),
                 P(),
-                P(),
-                P(),
-                P(),
-                P(),
-                P(),
             ),
             out_specs=(
                 P("db", None),
@@ -102,24 +99,26 @@ class ShardedMinimizerAligner:
                 P("db", None),
                 P("db", None),
                 P("db"),
+                P("db"),
             ),
             check_vma=False,
         )
-        def collect(i_hi, i_lo, i_seq, i_pos, i_str, q_hi, q_lo, qpos, qstrand, qid, q_valid):
-            s_q, s_s, s_b, s_p, s_r, n_valid = _collect_and_sort_anchors(
+        def collect(i_hi, i_lo, i_seq, i_pos, i_str, batch):
+            # the fully-fused single-device path runs per shard against the
+            # local index slice (extraction is recomputed per shard — cheap
+            # relative to any host round trip)
+            s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = _extract_collect_sort_fused(
                 i_hi[0],
                 i_lo[0],
                 i_seq[0],
                 i_pos[0],
                 i_str[0],
-                q_hi,
-                q_lo,
-                qpos,
-                qstrand,
-                qid,
-                q_valid,
+                batch,
+                k,
+                w,
                 cfg.max_occ,
                 cfg.band_bits,
+                cap,
             )
             return (
                 s_q[None, :],
@@ -128,8 +127,10 @@ class ShardedMinimizerAligner:
                 s_p[None, :],
                 s_r[None, :],
                 n_valid[None],
+                n_kept[None],
             )
 
+        self._collect_cache[cap] = collect
         return collect
 
     # ------------------------------------------------------------------
@@ -174,35 +175,19 @@ class ShardedMinimizerAligner:
         k = self.index.k
         cfg = self.cfg
         repl = NamedSharding(self.mesh, P())
-        m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(
-            jax.device_put(batch, repl), k, self.index.w
-        )
-        keep = np.asarray(m_keep)
-        b_idx, w_idx = np.nonzero(keep)
-        n_min = b_idx.shape[0]
-        if n_min == 0:
-            return []
-        bucket = max(1024, 1 << int(np.ceil(np.log2(n_min))))
-        pad = bucket - n_min
-
-        def flat(arr):
-            vals = np.asarray(arr)[b_idx, w_idx]
-            return np.concatenate([vals, np.zeros(pad, dtype=vals.dtype)])
-
-        put = lambda x: jax.device_put(np.ascontiguousarray(x), repl)  # noqa: E731
-        s_q, s_s, s_b, s_p, s_r, n_valid = self._collect(
+        B, L = batch.shape
+        NW = L - k - self.index.w + 2
+        cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
+        s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = self._get_collect(cap)(
             self._idx_hi,
             self._idx_lo,
             self._idx_seq,
             self._idx_pos,
             self._idx_strand,
-            put(flat(m_hi)),
-            put(flat(m_lo)),
-            put(flat(m_pos)),
-            put(flat(m_strand)),
-            put(np.concatenate([b_idx.astype(np.int32), np.zeros(pad, np.int32)])),
-            put(np.concatenate([np.ones(n_min, bool), np.zeros(pad, bool)])),
+            jax.device_put(batch, repl),
         )
+        if int(np.asarray(n_kept).max()) > cap:
+            raise RuntimeError("minimizer compaction overflow")
         s_q = np.asarray(s_q)
         s_s = np.asarray(s_s)
         s_b = np.asarray(s_b)
