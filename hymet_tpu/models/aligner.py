@@ -40,7 +40,7 @@ _DIAG_OFF = 1 << 28  # supports |diagonal| < 268 Mbp (largest chromosomes)
 
 @dataclass
 class AlignerConfig:
-    max_occ: int = 64  # drop minimizers with more index occurrences
+    max_occ: int = 16  # drop minimizers with more index occurrences (repetitive)
     band_bits: int = 11  # diagonal band width = 2^band_bits
     min_cnt: int = 3  # min anchors per chain (minimap2 -n 3)
     min_mlen: int = 40  # min matched bases per chain (minimap2 -m 40)
@@ -248,13 +248,17 @@ class MinimizerAligner:
         per_query: dict = {i: [] for i in range(len(seqs))}
         for group in groups:
             pad = -(-max(max(len(seqs[i]) for i in group), k + w) // cfg.batch_pad) * cfg.batch_pad
-            batch = np.full((len(group), pad), 4, dtype=np.uint8)
+            # fixed row counts (powers of two) keep one compile per
+            # (rows, pad) shape instead of one per exact group size
+            rows_pad = 1 << max(0, int(np.ceil(np.log2(max(len(group), 1)))))
+            batch = np.full((rows_pad, pad), 4, dtype=np.uint8)
             for row, i in enumerate(group):
                 codes = encode_seq(seqs[i])
                 batch[row, : codes.shape[0]] = codes
             chains = self._chains_for_batch(jnp.asarray(batch))
             for ch in chains:
-                per_query[group[ch.qid]].append(ch)
+                if ch.qid < len(group):
+                    per_query[group[ch.qid]].append(ch)
 
         for i, name in enumerate(names):
             records.extend(
