@@ -304,7 +304,10 @@ def fasta_hashes(path: Optional[str]) -> Dict[str, str]:
 def l1_and_braycurtis(a: dict, b: dict) -> Tuple[float, float]:
     keys = set(a) | set(b)
     if not keys:
-        return 0.0, 0.0
+        # an empty rank scores BC=100 in the reference's profile_summary
+        # (eval_cami.py:611-620 computes inline without the early return
+        # its own standalone helper at :369-377 has)
+        return 0.0, 100.0
     sum_abs = sum(abs(a.get(k, 0.0) - b.get(k, 0.0)) for k in keys)
     l1 = 0.5 * sum_abs
     sump = sum(a.get(k, 0.0) for k in keys)

@@ -31,7 +31,8 @@ def test_l1_and_bc():
     assert l1 == pytest.approx(0.5 * (10 + 40 + 50))
     shared = 50.0
     assert bc == pytest.approx((1 - 2 * shared / 200.0) * 100)
-    assert l1_and_braycurtis({}, {}) == (0.0, 0.0)
+    # empty ranks score BC=100 (reference profile_summary semantics)
+    assert l1_and_braycurtis({}, {}) == (0.0, 100.0)
 
 
 def test_prf_presence():
