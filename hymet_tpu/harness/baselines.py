@@ -290,6 +290,28 @@ def _run_sourmash(row: ManifestRow, tool_dir: str, threads: int) -> bool:
         ["sourmash", "gather", sig, db, "-o", gather_csv, "-k", ksize],
         check=True,
     )
+    seqmap_path = os.environ.get("SOURMASH_SEQMAP")
+    if seqmap_path and os.path.exists(seqmap_path):
+        from hymet_tpu.evalx.converters import sourmash_gather_to_cami
+        from hymet_tpu.harness.bench import _taxdb_from_env
+
+        seqmap = {}
+        with open(seqmap_path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2:
+                    seqmap[parts[0]] = parts[1]
+        sourmash_gather_to_cami(
+            gather_csv,
+            seqmap,
+            os.path.join(tool_dir, "profile.cami.tsv"),
+            row.sample_id,
+            _taxdb_from_env(),
+        )
+    else:
+        logger.warning(
+            "SOURMASH_SEQMAP unset/missing; gather.csv not converted to CAMI"
+        )
     _metadata(tool_dir, "sourmash", row)
     return True
 
@@ -299,25 +321,25 @@ def _run_metaphlan4(row: ManifestRow, tool_dir: str, threads: int) -> bool:
         logger.warning("metaphlan not installed; skipping")
         return False
     out_prof = os.path.join(tool_dir, "metaphlan.tsv")
-    cmd = [
-        "metaphlan",
-        row.contigs,
-        "--input_type",
-        "fasta",
-        "--nproc",
-        str(threads),
-        "-o",
-        out_prof,
-    ]
+    base = ["metaphlan", row.contigs, "--input_type", "fasta", "-o", out_prof]
     try:
-        subprocess.run(cmd, check=True)
+        subprocess.run(base + ["--nproc", str(threads)], check=True)
     except subprocess.CalledProcessError:
         # reference retries with <=4 threads + --split_reads
         # (bench/run_metaphlan4.sh:101-125)
-        logger.warning("metaphlan failed; retrying with reduced threads")
+        logger.warning("metaphlan failed; retrying with 4 threads + --split_reads")
         subprocess.run(
-            cmd[:-2] + ["--nproc", "4", "-o", out_prof], check=True
+            base + ["--nproc", str(min(threads, 4)), "--split_reads"], check=True
         )
+    from hymet_tpu.evalx.converters import metaphlan_to_cami
+    from hymet_tpu.harness.bench import _taxdb_from_env
+
+    metaphlan_to_cami(
+        out_prof,
+        os.path.join(tool_dir, "profile.cami.tsv"),
+        row.sample_id,
+        _taxdb_from_env(),
+    )
     _metadata(tool_dir, "metaphlan4", row)
     return True
 

@@ -38,6 +38,14 @@ BENCH_CAND_MAX = 1500
 BENCH_SPECIES_DEDUP = True
 
 
+def _taxdb_from_env():
+    """TaxonomyDB from TAXONKIT_DB / TAXONOMY_DIR (taxdump or hierarchy
+    TSV) — the taxonomy source shared by eval and converters."""
+    from hymet_tpu.evalx.eval_cami import _load_taxdb
+
+    return _load_taxdb(os.environ.get("TAXONKIT_DB") or os.environ.get("TAXONOMY_DIR"))
+
+
 def run_bench(
     manifest: Optional[str],
     tools: List[str],

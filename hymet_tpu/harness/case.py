@@ -35,11 +35,9 @@ def top_taxa_table(profile_path: str, out_path: str, top_n: int = 15) -> None:
                 key=lambda r: -r["percentage"],
             )[:top_n]
             for r in ranked:
-                name = r["taxpathsn"].split("|")[-1] if r["taxpathsn"] else ""
-                # last non-empty name on the path
+                # last non-empty name on the taxpath
                 names = [n for n in r["taxpathsn"].split("|") if n]
-                if names:
-                    name = names[-1]
+                name = names[-1] if names else ""
                 w.writerow([rank, r["taxid"], name, f"{r['percentage']:.4f}"])
 
 
@@ -136,7 +134,12 @@ def run_case(
             with measured(runtime_log, row.sample_id, "hymet_tpu", "eval"):
                 _run_eval(row, tool_dir)
 
-        compare = row.extra.get("compare_profile")
+        compare = (row.extra.get("compare_profile") or "").strip()
+        if compare and not os.path.isabs(compare):
+            # resolve against the manifest directory like the path columns
+            compare = os.path.normpath(
+                os.path.join(os.path.dirname(os.path.abspath(manifest)), compare)
+            )
         if compare and os.path.exists(compare) and os.path.exists(profile):
             kl, rho = compare_profiles(profile, compare)
             with open(os.path.join(tool_dir, "profile_compare.tsv"), "w") as f:

@@ -42,7 +42,8 @@ def iter_fasta(path: str) -> Iterator[Tuple[str, bytes]]:
             if line.startswith(b">"):
                 if name is not None:
                     yield name, b"".join(chunks)
-                name = line[1:].split(None, 1)[0].decode("utf-8", "replace") if len(line) > 1 else ""
+                toks = line[1:].split(None, 1)
+                name = toks[0].decode("utf-8", "replace") if toks else ""
                 chunks = []
             elif line:
                 chunks.append(line)

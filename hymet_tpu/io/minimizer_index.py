@@ -26,14 +26,16 @@ from hymet_tpu.ops.minimizer import extract_minimizers_numpy
 
 
 def _extract_minimizers_host(codes, k, w):
-    """Native C++ extraction when built (~60x numpy), numpy fallback."""
-    try:
-        from hymet_tpu.io import native_io
+    """Native C++ extraction when built (~60x numpy), numpy fallback.
+    The C++ kernel supports k <= 31 (one fewer than numpy's 32)."""
+    if 1 <= k <= 31:
+        try:
+            from hymet_tpu.io import native_io
 
-        if native_io.available():
-            return native_io.minimizers(codes, k, w)
-    except Exception:  # noqa: BLE001
-        pass
+            if native_io.available():
+                return native_io.minimizers(codes, k, w)
+        except Exception:  # noqa: BLE001
+            pass
     return extract_minimizers_numpy(codes, k, w)
 
 ASM_K = 19  # minimap2 asm10 preset (-k19)

@@ -242,13 +242,15 @@ def kmer_hashes_numpy(codes: np.ndarray, k: int, seed: int = SEED) -> np.ndarray
 def kmer_hashes_host(codes: np.ndarray, k: int) -> np.ndarray:
     """Host k-mer hashing: native C++ path when built (~60x numpy),
     numpy fallback. Mash default seed only (the native kernel pins it)."""
-    try:
-        from hymet_tpu.io import native_io
+    # the C++ kernel supports 1 <= k <= 32 only; fall through otherwise
+    if 1 <= k <= 32:
+        try:
+            from hymet_tpu.io import native_io
 
-        if native_io.available():
-            return native_io.kmer_hashes(codes, k)
-    except Exception:  # noqa: BLE001
-        pass
+            if native_io.available():
+                return native_io.kmer_hashes(codes, k)
+        except Exception:  # noqa: BLE001
+            pass
     return kmer_hashes_numpy(codes, k)
 
 

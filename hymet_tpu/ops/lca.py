@@ -161,14 +161,20 @@ def bucket_pad(
         if not qidx:
             continue
         # pad the query dimension to a power of two as well: one compile
-        # per (Q-bucket, H-bucket) pair instead of per exact batch size
+        # per (Q-bucket, H-bucket) pair instead of per exact batch size.
+        # Large-H buckets cap Q so the [Q, H, H] equality tensor stays
+        # within a ~256 MB budget (callers loop over Q slices).
         q_pad = 1 << max(3, int(np.ceil(np.log2(len(qidx)))))
-        rows = np.full((q_pad, b), -1, dtype=np.int32)
-        weights = np.zeros((q_pad, b), dtype=np.float64)
-        for i, qi in enumerate(qidx):
-            entries = entries_per_query[qi][:b]
-            for j, (row, wgt) in enumerate(entries):
-                rows[i, j] = row
-                weights[i, j] = wgt
-        out.append((np.asarray(qidx, dtype=np.int64), rows, weights))
+        q_cap = max(8, (1 << 26) // max(b * b, 1))
+        q_pad = min(q_pad, 1 << int(np.ceil(np.log2(q_cap))))
+        for base in range(0, len(qidx), q_pad):
+            part = qidx[base : base + q_pad]
+            rows = np.full((q_pad, b), -1, dtype=np.int32)
+            weights = np.zeros((q_pad, b), dtype=np.float64)
+            for i, qi in enumerate(part):
+                entries = entries_per_query[qi][:b]
+                for j, (row, wgt) in enumerate(entries):
+                    rows[i, j] = row
+                    weights[i, j] = wgt
+            out.append((np.asarray(part, dtype=np.int64), rows, weights))
     return out

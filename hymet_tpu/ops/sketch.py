@@ -242,6 +242,7 @@ class ScreenResult:
         self.shared = shared
         self.median = median
         self.total_query_kmers = total_query_kmers
+        self._pvalues = None
 
     def pvalues(self) -> np.ndarray:
         """Null-model p-values per reference, Mash-style: probability of
@@ -253,6 +254,8 @@ class ScreenResult:
         slightly conservative; downstream only filters at p <= 0.9
         (``mash screen -v 0.9``), which this never disturbs in practice.
         """
+        if self._pvalues is not None:
+            return self._pvalues
         kmer_space = float(4 ** self.db.k)
         r_null = 1.0 / (1.0 + kmer_space / max(self.total_query_kmers, 1))
         out = np.ones(self.db.n_refs)
@@ -260,6 +263,7 @@ class ScreenResult:
             out[i] = binom_sf(
                 int(self.shared[i]), int(self.db.n_hashes[i]), r_null
             )
+        self._pvalues = out
         return out
 
     def rows(self) -> list:
@@ -320,6 +324,7 @@ def finish_bottom_sketch(
     B = cand_hi.shape[0]
     out = np.full((B, s), PAD_HASH, dtype=np.uint64)
     n_out = np.zeros(B, dtype=np.int32)
+    saturated = np.zeros(B, dtype=bool)
     h64 = pack64(np.asarray(cand_hi), np.asarray(cand_lo))
     for i in range(B):
         uniq = np.unique(h64[i])
@@ -327,6 +332,20 @@ def finish_bottom_sketch(
         n = min(len(uniq), s)
         out[i, :n] = uniq[:n]
         n_out[i] = n
+        # candidate pool full of duplicates AND fewer distinct hashes than
+        # requested: the true bottom-s may be incomplete (e.g. a highly
+        # repetitive low-hash k-mer crowding the top_k slots)
+        saturated[i] = n < s and (h64[i] != PAD_HASH).all()
+    if saturated.any():
+        import warnings
+
+        warnings.warn(
+            f"sketch_batch_topk candidate pool saturated for rows "
+            f"{np.flatnonzero(saturated).tolist()}; rerun those rows with "
+            "the exact sort path or a larger cand",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return out, n_out
 
 

@@ -232,13 +232,22 @@ class ClassificationRun:
             logger.info("PAF exists; skipping alignment")
             return paf_path
 
-        idx_path = os.path.join(os.path.dirname(combined), "reference_minidx.npz")
+        # cache name carries the parameters so changed k/w rebuild
+        idx_path = os.path.join(
+            os.path.dirname(combined),
+            f"reference_minidx_k{cfg.align_k}w{cfg.align_w}.npz",
+        )
 
         def run():
+            index = None
             if os.path.exists(idx_path) and not cfg.force_download:
                 index = MinimizerIndex.load(idx_path)
-                logger.info("cached minimizer index: %s", idx_path)
-            else:
+                if index.k != cfg.align_k or index.w != cfg.align_w:
+                    logger.warning("cached index k/w mismatch; rebuilding")
+                    index = None
+                else:
+                    logger.info("cached minimizer index: %s", idx_path)
+            if index is None:
                 index = MinimizerIndex.build_from_fasta(
                     combined, k=cfg.align_k, w=cfg.align_w
                 )
