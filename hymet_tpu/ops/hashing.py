@@ -423,31 +423,17 @@ def murmur3_planes_jax(planes, seed: int = SEED):
     return h1_hi, h1_lo
 
 
-@functools.partial(jax.jit, static_argnames=("k", "seed"))
-def kmer_hashes_jax(codes, k: int, seed: int = SEED):
-    """Device k-mer hashing: [B, L] uint8 code batch -> canonical k-mer
-    hashes ((hi, lo) uint32 [B, L-k+1]) + validity mask.
+def packed_canonical_kmers_jax(codes, k: int):
+    """[B, L] codes -> canonical 2-bit-packed k-mers as (hi, lo) uint32
+    pairs [B, n], validity mask, and strand (0 = forward <= rc).
 
-    Jitted: the ~150-op limb pipeline must compile to one fused program —
-    eager execution pays per-op dispatch (catastrophic over remote-device
-    links: ~3 s/call vs ~6 ms compiled).
-
-    TPU-friendly formulation: pack forward and revcomp windows into
-    (hi, lo) uint32 2-bit-packed pairs via k rolling shifts (A<C<G<T in
-    both code and ASCII order makes packed integer comparison equal to
-    Mash's byte-lexicographic canonical rule; 2-bit fields never straddle
-    the 32-bit limb boundary since shifts are even). Only the canonical
-    winner's ASCII byte planes are produced, fed straight into the limb
-    murmur kernel — no [B, n, k] tensor is ever materialized.
-    Requires k <= 32.
-    """
-    assert k <= 32, "packed canonicalization supports k <= 32"
+    THE single jnp source of the canonical-k-mer rule — shared by the
+    sketch hash path and the minimizer path (the Pallas kernel keeps its
+    own fused copy for VMEM locality; numpy twins live below)."""
     jnp = _jax_imports()
     B, L = codes.shape
     n = L - k + 1
     codes = codes.astype(jnp.uint32)
-
-    # validity via cumulative invalid-base counts
     inv = (codes >= 4).astype(jnp.int32)
     csum = jnp.concatenate(
         [jnp.zeros((B, 1), dtype=jnp.int32), jnp.cumsum(inv, axis=1)], axis=1
@@ -471,10 +457,36 @@ def kmer_hashes_jax(codes, k: int, seed: int = SEED):
             r_hi = r_hi | (cr << (s_r - 32))
         else:
             r_lo = r_lo | (cr << s_r)
+    fwd_less = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
+    c_hi = jnp.where(fwd_less, f_hi, r_hi)
+    c_lo = jnp.where(fwd_less, f_lo, r_lo)
+    strand = jnp.where(fwd_less, jnp.int32(0), jnp.int32(1))
+    return c_hi, c_lo, valid, strand
 
-    use_fwd = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
-    c_hi = jnp.where(use_fwd, f_hi, r_hi)
-    c_lo = jnp.where(use_fwd, f_lo, r_lo)
+
+
+
+@functools.partial(jax.jit, static_argnames=("k", "seed"))
+def kmer_hashes_jax(codes, k: int, seed: int = SEED):
+    """Device k-mer hashing: [B, L] uint8 code batch -> canonical k-mer
+    hashes ((hi, lo) uint32 [B, L-k+1]) + validity mask.
+
+    Jitted: the ~150-op limb pipeline must compile to one fused program —
+    eager execution pays per-op dispatch (catastrophic over remote-device
+    links: ~3 s/call vs ~6 ms compiled).
+
+    TPU-friendly formulation: pack forward and revcomp windows into
+    (hi, lo) uint32 2-bit-packed pairs via k rolling shifts (A<C<G<T in
+    both code and ASCII order makes packed integer comparison equal to
+    Mash's byte-lexicographic canonical rule; 2-bit fields never straddle
+    the 32-bit limb boundary since shifts are even). Only the canonical
+    winner's ASCII byte planes are produced, fed straight into the limb
+    murmur kernel — no [B, n, k] tensor is ever materialized.
+    Requires k <= 32.
+    """
+    assert k <= 32, "packed canonicalization supports k <= 32"
+    jnp = _jax_imports()
+    c_hi, c_lo, valid, _strand = packed_canonical_kmers_jax(codes, k)
 
     chars = jnp.array(list(b"ACGT"), dtype=jnp.uint32)
     planes = []

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hymet_tpu.ops.hashing import packed_canonical_kmers_jax as _packed_kmers_jax
+
 
 # ----------------------------------------------------------------------
 # minimap2's hash64 mixer (invertible), numpy uint64
@@ -44,24 +46,32 @@ def hash64_numpy(key: np.ndarray, bits: int) -> np.ndarray:
 # limb helpers under a bit mask (bits <= 64); hi limb masked after each op
 
 
-def _mask_hi(bits: int) -> int:
-    return (1 << max(bits - 32, 0)) - 1 if bits < 64 else 0xFFFFFFFF
+def _mask_hi(bits: int) -> np.uint32:
+    # np.uint32-typed so jit argument parsing never sees a >int32 Python
+    # int (x64-off overflow)
+    return np.uint32((1 << max(bits - 32, 0)) - 1 if bits < 64 else 0xFFFFFFFF)
+
+
+def _mask_lo(bits: int) -> np.uint32:
+    # for bits < 32 the LOW limb carries the mask boundary
+    return np.uint32((1 << min(bits, 32)) - 1 if bits < 32 else 0xFFFFFFFF)
 
 
 def _madd(hi, lo, b_hi, b_lo, bits: int):
     s_lo = lo + b_lo
     carry = (s_lo < lo).astype(jnp.uint32)
     s_hi = (hi + b_hi + carry) & _mask_hi(bits)
-    return s_hi, s_lo
+    return s_hi, s_lo & _mask_lo(bits)
 
 
 def _mshl(hi, lo, r: int, bits: int):
     if r == 0:
-        return hi & _mask_hi(bits), lo
+        return hi & _mask_hi(bits), lo & _mask_lo(bits)
     if r < 32:
         n_hi = ((hi << r) | (lo >> (32 - r))) & _mask_hi(bits)
-        return n_hi, lo << r
-    return ((lo << (r - 32)) if r > 32 else lo) & _mask_hi(bits), jnp.zeros_like(lo)
+        return n_hi, (lo << r) & _mask_lo(bits)
+    n_hi = ((lo << (r - 32)) if r > 32 else lo) & _mask_hi(bits)
+    return n_hi, jnp.zeros_like(lo)
 
 
 def _mshr(hi, lo, r: int):
@@ -78,7 +88,7 @@ def hash64_jax(hi, lo, bits: int):
     """minimap2 hash64 on (hi, lo) uint32 limb pairs under a `bits` mask."""
     mh = _mask_hi(bits)
     # ~key + (key << 21)
-    n_hi, n_lo = (~hi) & mh, ~lo
+    n_hi, n_lo = (~hi) & mh, (~lo) & _mask_lo(bits)
     s_hi, s_lo = _mshl(hi, lo, 21, bits)
     hi, lo = _madd(n_hi, n_lo, s_hi, s_lo, bits)
     # key ^= key >> 24
@@ -103,47 +113,11 @@ def hash64_jax(hi, lo, bits: int):
     # key = key + (key<<31)
     s_hi, s_lo = _mshl(hi, lo, 31, bits)
     hi, lo = _madd(hi, lo, s_hi, s_lo, bits)
-    return hi & mh, lo
+    return hi & mh, lo & _mask_lo(bits)
 
 
 # ----------------------------------------------------------------------
 # packed canonical k-mers + strand (shared by device and host paths)
-
-
-def _packed_kmers_jax(codes, k: int):
-    """[B, L] codes -> packed fwd/rc (hi, lo) pairs [B, n], valid mask,
-    and strand (0 = forward < rc, 1 = rc strand used)."""
-    B, L = codes.shape
-    n = L - k + 1
-    codes = codes.astype(jnp.uint32)
-    inv = (codes >= 4).astype(jnp.int32)
-    csum = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype=jnp.int32), jnp.cumsum(inv, axis=1)], axis=1
-    )
-    valid = (csum[:, k:] - csum[:, :-k]) == 0
-
-    f_hi = jnp.zeros((B, n), dtype=jnp.uint32)
-    f_lo = jnp.zeros((B, n), dtype=jnp.uint32)
-    r_hi = jnp.zeros((B, n), dtype=jnp.uint32)
-    r_lo = jnp.zeros((B, n), dtype=jnp.uint32)
-    for j in range(k):
-        c = codes[:, j : j + n] & 3
-        s_f = 2 * (k - 1 - j)
-        s_r = 2 * j
-        if s_f >= 32:
-            f_hi = f_hi | (c << (s_f - 32))
-        else:
-            f_lo = f_lo | (c << s_f)
-        cr = jnp.uint32(3) - c
-        if s_r >= 32:
-            r_hi = r_hi | (cr << (s_r - 32))
-        else:
-            r_lo = r_lo | (cr << s_r)
-    fwd_less = (f_hi < r_hi) | ((f_hi == r_hi) & (f_lo <= r_lo))
-    c_hi = jnp.where(fwd_less, f_hi, r_hi)
-    c_lo = jnp.where(fwd_less, f_lo, r_lo)
-    strand = jnp.where(fwd_less, jnp.int32(0), jnp.int32(1))
-    return c_hi, c_lo, valid, strand
 
 
 def _packed_kmers_numpy(codes: np.ndarray, k: int):

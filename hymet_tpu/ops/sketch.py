@@ -103,9 +103,13 @@ def screen_update_fused(
         )
     else:
         hi, lo, valid = kmer_hashes_jax(codes, k)
-    return _count_impl(
-        db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid.reshape(-1)
+    valid = valid.reshape(-1)
+    new_counts = _count_impl(
+        db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid
     )
+    # scalar valid-window count rides along (p-values need it; pulling it
+    # as 4 bytes beats re-downloading the whole code batch)
+    return new_counts, jnp.sum(valid.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -204,15 +208,15 @@ class ScreenEngine:
             if self.track_kmers:
                 self._count_kmers_host(codes)
             return
-        self.counts = screen_update_fused(
+        self.counts, n_valid = screen_update_fused(
             self.db_hi, self.db_lo, self.counts, codes, self.db.k, use_pallas
         )
         if self.track_kmers:
-            self._count_kmers_host(codes)
+            self.total_query_kmers += int(n_valid)
 
     def _count_kmers_host(self, codes) -> None:
-        """Exact valid-window count for p-values (host mirror of the
-        kernel's validity rule; avoids pulling device masks back)."""
+        """Exact valid-window count (empty-DB path only — the fused kernel
+        returns the count as a scalar otherwise)."""
         k = self.db.k
         arr = np.asarray(codes)
         inv = (arr >= 4).astype(np.int32)
@@ -334,8 +338,17 @@ def finish_bottom_sketch(
         n_out[i] = n
         # candidate pool full of duplicates AND fewer distinct hashes than
         # requested: the true bottom-s may be incomplete (e.g. a highly
-        # repetitive low-hash k-mer crowding the top_k slots)
-        saturated[i] = n < s and (h64[i] != PAD_HASH).all()
+        # repetitive low-hash k-mer crowding the top_k slots). Also flag a
+        # hi-limb tie at the s-th value against the pool's cutoff: top_k
+        # selects by hi only, so an excluded (same-hi, smaller-lo) hash
+        # could displace it.
+        pool_full = bool((h64[i] != PAD_HASH).all())
+        cutoff_tie = (
+            n >= s
+            and pool_full
+            and (out[i, n - 1] >> np.uint64(32)) == (h64[i].max() >> np.uint64(32))
+        )
+        saturated[i] = (n < s and pool_full) or cutoff_tie
     if saturated.any():
         import warnings
 

@@ -28,30 +28,12 @@ from jax import shard_map
 
 from hymet_tpu.io.sketchdb import SketchDB
 from hymet_tpu.ops.hashing import kmer_hashes_jax
-from hymet_tpu.ops.sketch import ScreenResult, split64
+from hymet_tpu.ops.sketch import ScreenResult, _count_impl, split64
 
 
 def _pair_search_count(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
-    """Lower-bound search of (q_hi, q_lo) pairs in sorted (db_hi, db_lo);
-    scatter-add occurrence counts. Shared body for single-device and
-    shard_map paths."""
-    F = db_hi.shape[0]
-    steps = max(1, int(math.ceil(math.log2(F + 1))))  # F+1 insertion points
-    lo = jnp.zeros_like(q_hi, dtype=jnp.int32)
-    hi = jnp.full_like(lo, F)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        m_hi = db_hi[mid]
-        m_lo = db_lo[mid]
-        less = (m_hi < q_hi) | ((m_hi == q_hi) & (m_lo < q_lo))
-        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
-    pos = jnp.clip(lo, 0, F - 1)
-    found = (db_hi[pos] == q_hi) & (db_lo[pos] == q_lo) & q_valid & (lo < F)
-    return counts.at[pos].add(found.astype(jnp.int32))
+    """Alias of the single-device counting body (one source of truth)."""
+    return _count_impl(db_hi, db_lo, counts, q_hi, q_lo, q_valid)
 
 
 class ShardedScreenEngine:
