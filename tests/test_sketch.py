@@ -158,3 +158,27 @@ def test_sketchdb_shard(db):
     shards = db.shard(2)
     assert sum(s.n_refs for s in shards) == db.n_refs
     assert [n for s in shards for n in s.names] == db.names
+
+
+@pytest.mark.parametrize("F", [1, 100, 128, 4096, 33000])
+def test_count_eqmm_matches_binsearch(F):
+    """The MXU one-hot-matmul count (TPU default; see _count_eqmm) must
+    produce identical per-slot counts to the binary-search formulation."""
+    from hymet_tpu.ops.sketch import _count_impl
+
+    rng = np.random.default_rng(7)
+    dbh = np.unique(rng.integers(0, 1 << 64, F * 2, dtype=np.uint64))[:F]
+    assert dbh.shape[0] == F
+    n = 20000
+    q = np.concatenate(
+        [rng.integers(0, 1 << 64, n // 2, dtype=np.uint64), rng.choice(dbh, n // 2)]
+    )
+    valid = rng.random(n) > 0.1
+    sp = lambda x: ((x >> np.uint64(32)).astype(np.uint32), (x & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    dh, dl = map(jnp.asarray, sp(dbh))
+    qh, ql = map(jnp.asarray, sp(q))
+    zeros = jnp.zeros(F, jnp.int32)
+    a = _count_impl(dh, dl, zeros, qh, ql, jnp.asarray(valid), use_eqmm=False)
+    b = _count_impl(dh, dl, zeros, qh, ql, jnp.asarray(valid), use_eqmm=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(a.sum()) >= n // 2 - int((~valid).sum())
