@@ -30,3 +30,19 @@ def make_mesh(
         raise ValueError(f"mesh {data}x{db} != {n} devices")
     arr = np.array(devs).reshape(data, db)
     return Mesh(arr, axis_names=("data", "db"))
+
+
+def fetch_global(x) -> np.ndarray:
+    """Host copy of a possibly multi-process global array.
+
+    Single-process (including multi-device): a plain device_get. With
+    ``jax.distributed`` initialized (process_count > 1) a direct fetch of
+    a globally-sharded array raises; gather the full value on every
+    process instead (the final LCA/TSV emission happens on process 0, but
+    every process must participate in the collective).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

@@ -29,6 +29,7 @@ from jax import shard_map
 from hymet_tpu.io.sketchdb import SketchDB
 from hymet_tpu.ops.hashing import kmer_hashes_jax
 from hymet_tpu.ops.sketch import ScreenResult, _count_impl, split64
+from hymet_tpu.parallel.mesh import fetch_global
 
 
 def _pair_search_count(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
@@ -154,9 +155,9 @@ class ShardedScreenEngine:
         ident, shared, median = self._score(
             self.counts, self.ref_idx, self.n_hashes
         )
-        ident = np.asarray(ident)
-        shared = np.asarray(shared)
-        median = np.asarray(median)
+        ident = fetch_global(ident)
+        shared = fetch_global(shared)
+        median = fetch_global(median)
         # reassemble per-shard rows into the global reference order
         identity = np.zeros(self.db.n_refs)
         g_shared = np.zeros(self.db.n_refs, dtype=np.int64)

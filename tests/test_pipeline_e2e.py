@@ -216,3 +216,49 @@ def test_fallback_on_missing_hierarchy(world, tmp_path):
     with open(classified) as f:
         rows = f.read().splitlines()
     assert len(rows) >= 2  # fallback or Unknown rows, never empty
+
+
+def test_testdataset_self_check(world, tmp_path):
+    """Reference paper's synthetic self-validation (testdataset/README.md
+    workflow, BASELINE.json config 1): sample genomes -> trim the first
+    10% of bases -> point-mutate at 2% -> classify with the full pipeline
+    -> every test contig must recover its source species."""
+    from hymet_tpu.data.testdataset import build_test_dataset
+
+    td_dir = tmp_path / "testdataset"
+    gcf_map = build_test_dataset(
+        world["genomes_dir"],
+        str(td_dir),
+        fraction_genomes=1.0,
+        trim_fraction=0.1,
+        mutation_rate=0.02,
+        seed=3,
+    )
+    assert set(gcf_map) == set(SPECIES)
+    assert (td_dir / "gcf2seqid.tsv").exists()
+
+    # combine the per-genome test FASTAs into one query sample
+    qf = tmp_path / "td_sample.fna"
+    with qf.open("w") as out:
+        for gcf in sorted(gcf_map):
+            out.write((td_dir / f"{gcf}_test.fna").read_text())
+
+    cfg = _config(world, tmp_path / "out")
+    cfg.input_fasta = str(qf)
+    classified = ClassificationRun(cfg).execute()
+
+    rows = {}
+    with open(classified, newline="") as f:
+        f.readline()
+        for line in f:
+            parts = line.rstrip("\r\n").split("\t")
+            rows[parts[0]] = parts
+
+    taxdb = world["taxdb"]
+    for gcf, seqids in gcf_map.items():
+        taxid, _ = SPECIES[gcf]
+        species = taxdb.name[taxid]
+        for sid in seqids:
+            assert sid in rows, f"{sid} missing from output"
+            assert f"species:{species}" in rows[sid][1], (sid, rows[sid])
+            assert rows[sid][2] == "species"
