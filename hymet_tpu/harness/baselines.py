@@ -13,9 +13,11 @@ targets).
 from __future__ import annotations
 
 import csv
+import glob
 import json
 import logging
 import os
+import re
 import shutil
 import subprocess
 from typing import Dict, List, Optional, Tuple
@@ -122,7 +124,24 @@ def run_baseline_tool(
     return runner(row, tool_dir, threads)
 
 
+_TAXID_IN_NAME = re.compile(r"taxid\s*(\d+)", re.IGNORECASE)
+
+
+def _kraken_taxid(value: str) -> str:
+    """Taxid from a kraken2 ``--use-names`` column ("Name (taxid 123)") or
+    a bare numeric taxid (``run_kraken2.sh:115-124``)."""
+    value = value.strip()
+    m = _TAXID_IN_NAME.search(value)
+    if m:
+        return m.group(1)
+    return value if value.isdigit() else "0"
+
+
 def _run_kraken2(row: ManifestRow, tool_dir: str, threads: int) -> bool:
+    """kraken2 + bracken species refinement (``bench/run_kraken2.sh:70-108``):
+    classify with --use-names/--confidence, refine the report with
+    ``bracken -l S`` when installed, and fall back to the raw kraken2
+    report if bracken is absent or fails."""
     if not _have("kraken2"):
         logger.warning("kraken2 not installed; skipping")
         return False
@@ -132,6 +151,7 @@ def _run_kraken2(row: ManifestRow, tool_dir: str, threads: int) -> bool:
         return False
     report = os.path.join(tool_dir, "kraken2.report")
     output = os.path.join(tool_dir, "kraken2.out")
+    confidence = os.environ.get("KRAKEN2_CONFIDENCE", "0.0")
     subprocess.run(
         [
             "kraken2",
@@ -139,6 +159,9 @@ def _run_kraken2(row: ManifestRow, tool_dir: str, threads: int) -> bool:
             db,
             "--threads",
             str(threads),
+            "--use-names",
+            "--confidence",
+            confidence,
             "--report",
             report,
             "--output",
@@ -147,11 +170,30 @@ def _run_kraken2(row: ManifestRow, tool_dir: str, threads: int) -> bool:
         ],
         check=True,
     )
-    rows = parse_kreport(report)
+    # bracken refinement leg; any failure falls back to the raw report
+    profile_report = report
+    if _have("bracken"):
+        btable = os.path.join(tool_dir, "bracken_species.tsv")
+        breport = os.path.join(tool_dir, "bracken_species.kreport")
+        read_len = os.environ.get("BRACKEN_READ_LEN", "150")
+        try:
+            subprocess.run(
+                ["bracken", "-d", db, "-i", report, "-o", btable,
+                 "-w", breport, "-r", read_len, "-l", "S"],
+                check=True,
+            )
+            if os.path.getsize(breport) > 0:
+                profile_report = breport
+        except (subprocess.CalledProcessError, OSError):
+            logger.warning("bracken failed; using raw kraken2 report")
+    else:
+        logger.warning("bracken not installed; using raw kraken2 report")
+    rows = parse_kreport(profile_report)
     write_cami_profile(
         os.path.join(tool_dir, "profile.cami.tsv"), rows, row.sample_id
     )
-    # per-contig table (Query/TaxID) from the kraken2 per-read output
+    # per-contig table (Query/TaxID) from the kraken2 per-read output;
+    # with --use-names column 3 is "Name (taxid N)"
     with open(output, encoding="utf-8", errors="ignore") as f, open(
         os.path.join(tool_dir, "classified_sequences.tsv"), "w", newline=""
     ) as out:
@@ -160,7 +202,7 @@ def _run_kraken2(row: ManifestRow, tool_dir: str, threads: int) -> bool:
         for line in f:
             parts = line.rstrip("\n").split("\t")
             if len(parts) >= 3 and parts[0] == "C":
-                w.writerow([parts[1], parts[2]])
+                w.writerow([parts[1], _kraken_taxid(parts[2])])
     _metadata(tool_dir, "kraken2", row)
     return True
 
@@ -223,19 +265,58 @@ def _run_ganon2(row: ManifestRow, tool_dir: str, threads: int) -> bool:
             row.contigs,
             "--threads",
             str(threads),
+            "--rel-cutoff",
+            os.environ.get("GANON_REL_CUTOFF", "0"),
+            "--rel-filter",
+            os.environ.get("GANON_REL_FILTER", "1"),
             "--multiple-matches",
             "lca",
+            "--output-one",
+            "--skip-report",
             "--output-prefix",
             prefix,
         ],
         check=True,
     )
-    tre = prefix + ".tre"
-    if os.path.exists(tre):
-        rows = _parse_ganon_tre(tre)
-        write_cami_profile(
-            os.path.join(tool_dir, "profile.cami.tsv"), rows, row.sample_id
+    # bioboxes (CAMI) report leg (``bench/run_ganon2.sh:80-95``): ganon
+    # report emits a CAMI-format .tre which IS the profile; fall back to
+    # parsing a native .tre if the report step fails
+    profile = os.path.join(tool_dir, "profile.cami.tsv")
+    made_profile = False
+    try:
+        subprocess.run(
+            ["ganon", "report", "--input", prefix + ".rep",
+             "--db-prefix", db, "--output-prefix", prefix,
+             "--output-format", "bioboxes", "--report-type", "reads",
+             "--min-count", "0", "--max-count", "0", "--split-hierarchy"],
+            check=True,
         )
+        tres = sorted(glob.glob(os.path.join(tool_dir, "ganon*.tre")))
+        if tres and os.path.getsize(tres[0]) > 0:
+            shutil.copyfile(tres[0], profile)
+            made_profile = True
+    except (subprocess.CalledProcessError, OSError):
+        logger.warning("ganon report failed; parsing native .tre")
+    if not made_profile and os.path.exists(prefix + ".tre"):
+        rows = _parse_ganon_tre(prefix + ".tre")
+        write_cami_profile(profile, rows, row.sample_id)
+    # per-contig table from the .one assignment file (first taxid token)
+    one = prefix + ".one"
+    if os.path.exists(one):
+        with open(one, encoding="utf-8", errors="ignore") as f, open(
+            os.path.join(tool_dir, "classified_sequences.tsv"), "w", newline=""
+        ) as out:
+            w = csv.writer(out, delimiter="\t")
+            w.writerow(["Query", "TaxID"])
+            for line in f:
+                parts = line.strip().split("\t")
+                if len(parts) < 2:
+                    continue
+                tok = parts[1].split("|")[0]
+                if not tok.isdigit():
+                    digits = re.findall(r"\d+", parts[1])
+                    tok = digits[0] if digits else "0"
+                w.writerow([parts[0], tok])
     _metadata(tool_dir, "ganon2", row)
     return True
 
