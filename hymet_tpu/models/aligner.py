@@ -44,8 +44,9 @@ class AlignerConfig:
     band_bits: int = 11  # diagonal band width = 2^band_bits
     min_cnt: int = 3  # min anchors per chain (minimap2 -n 3)
     min_mlen: int = 40  # min matched bases per chain (minimap2 -m 40)
-    pri_ratio: float = 0.8  # secondary kept if score >= 0.8 * primary
+    pri_ratio: float = 0.8  # secondary kept if score >= 0.8 * its primary
     max_secondary: int = 50  # minimap2 asm10 -N 50
+    mask_level: float = 0.5  # query-overlap fraction marking a chain secondary
     batch_pad: int = 1 << 16  # query padding quantum
 
 
@@ -398,17 +399,46 @@ def emit_paf(
     if not chains:
         return []
     chains.sort(key=lambda c: -c.mlen)
-    best = chains[0].mlen
-    second = chains[1].mlen if len(chains) > 1 else 0
+    # minimap2-style primary marking (mm_set_parent): walking chains by
+    # descending score, a chain is secondary iff its query interval
+    # overlaps an already-chosen primary by > mask_level of the shorter
+    # span; disjoint spans (e.g. chimeric contigs) each get their own
+    # primary. Each primary's mapq derives from its own best secondary.
+    primaries: List[Tuple[_Chain, int]] = []  # (chain, best sub-mlen)
+    parent_of: List[Optional[int]] = []
+    for c in chains:
+        parent = None
+        for i, (p, _) in enumerate(primaries):
+            ov = min(c.maxq, p.maxq) - max(c.minq, p.minq) + k
+            shorter = min(c.maxq - c.minq, p.maxq - p.minq) + k
+            if ov > 0 and ov > cfg.mask_level * shorter:
+                parent = i
+                break
+        if parent is None:
+            primaries.append((c, 0))
+            parent_of.append(None)
+        else:
+            p, sub = primaries[parent]
+            if c.mlen > sub:
+                primaries[parent] = (p, c.mlen)
+            parent_of.append(parent)
+
     out: List[PafRecord] = []
-    for rank, c in enumerate(chains[: 1 + cfg.max_secondary]):
-        if rank > 0 and c.mlen < cfg.pri_ratio * best:
-            continue
-        primary = rank == 0
+    n_sec = 0
+    for rank, c in enumerate(chains):
+        parent = parent_of[rank]
+        primary = parent is None
         mapq = 0
         if primary:
-            frac = second / best if best else 1.0
+            sub = next(s for p, s in primaries if p is c)
+            frac = sub / c.mlen if c.mlen else 1.0
             mapq = int(min(60, max(0, 60 * (1.0 - frac))))
+        else:
+            if c.mlen < cfg.pri_ratio * primaries[parent][0].mlen:
+                continue
+            if n_sec >= cfg.max_secondary:
+                continue
+            n_sec += 1
         out.append(
             PafRecord(
                 qname=qname,

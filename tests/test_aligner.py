@@ -180,3 +180,51 @@ def test_short_query_no_crash(ref_index):
     idx, genomes = ref_index
     aln = MinimizerAligner(idx)
     assert aln.map_batch(["tiny"], [b"ACGTACGT"]) == []
+
+
+def _indel_sweep(rng, seq, n_indels, max_len):
+    """Scatter insertions/deletions of 1..max_len bases through seq."""
+    arr = bytearray(seq)
+    positions = sorted(rng.integers(100, len(arr) - 100, n_indels), reverse=True)
+    for pos in positions:
+        ln = int(rng.integers(1, max_len + 1))
+        if rng.random() < 0.5:
+            del arr[pos : pos + ln]
+        else:
+            ins = rng.choice(_ACGT, size=ln).astype(np.uint8).tobytes()
+            arr[pos:pos] = ins
+    return bytes(arr)
+
+
+@pytest.mark.parametrize("n_indels,max_len", [(20, 5), (8, 50)])
+def test_map_indel_sweep(ref_index, n_indels, max_len):
+    """Scattered small/medium indels (realistic assembly divergence) must
+    not break chaining: the query still maps to its source with most of
+    its length covered."""
+    idx, genomes = ref_index
+    rng = np.random.default_rng(100 + n_indels)
+    aln = MinimizerAligner(idx)
+    src = genomes["chrA"][10000:25000]
+    q = _indel_sweep(rng, _mutate(rng, src, 0.02), n_indels, max_len)
+    recs = aln.map_batch(["q1"], [q])
+    assert recs
+    best = max(recs, key=lambda r: r.blocklen)
+    assert best.tname == "chrA"
+    assert best.blocklen > len(q) * 0.6, best.blocklen
+
+
+def test_map_chimeric_contig(ref_index):
+    """A chimera of two genomes must produce primary mappings to BOTH
+    sources (minimap2 reports split primaries for disjoint query spans)."""
+    idx, genomes = ref_index
+    aln = MinimizerAligner(idx)
+    q = genomes["chrB"][1000:9000] + genomes["chrC"][5000:13000]
+    recs = aln.map_batch(["q1"], [q])
+    prim = {r.tname: r for r in recs if r.tags["tp"] == "A:P"}
+    assert set(prim) == {"chrB", "chrC"}, sorted(
+        (r.tname, r.tags["tp"], r.blocklen) for r in recs
+    )
+    # each half maps within its own query span
+    b, c = prim["chrB"], prim["chrC"]
+    assert b.qend <= 9000 + 200 and c.qstart >= 8000 - 200
+    assert b.blocklen > 7000 and c.blocklen > 7000

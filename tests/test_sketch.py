@@ -182,3 +182,24 @@ def test_count_eqmm_matches_binsearch(F):
     b = _count_impl(dh, dl, zeros, qh, ql, jnp.asarray(valid), use_eqmm=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(a.sum()) >= n // 2 - int((~valid).sum())
+
+
+def test_binom_sf_vs_scipy():
+    """Property check of the exact log-space binomial survival function
+    against scipy (mash screen's p-value; reference uses kgml's binomial
+    via mash CLI internals). Sweep x, n, p over the realistic sketch
+    range plus boundary cases."""
+    scipy_stats = pytest.importorskip("scipy.stats")
+    from hymet_tpu.ops.sketch import binom_sf
+
+    rng = np.random.default_rng(13)
+    cases = [(0, 10, 0.5), (10, 10, 0.5), (1, 1, 1e-12), (5, 1000, 0.0), (5, 1000, 1.0)]
+    for _ in range(60):
+        n = int(rng.integers(1, 3000))
+        x = int(rng.integers(0, n + 1))
+        p = float(rng.random()) ** 3  # bias toward small p (screen regime)
+        cases.append((x, n, p))
+    for x, n, p in cases:
+        ours = binom_sf(x, n, p)
+        ref = float(scipy_stats.binom.sf(x - 1, n, p))  # P(X >= x)
+        assert ours == pytest.approx(ref, rel=1e-9, abs=1e-300), (x, n, p)
