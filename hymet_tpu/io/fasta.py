@@ -75,6 +75,29 @@ def pack_2bit(seq: bytes) -> Tuple[np.ndarray, np.ndarray]:
     return codes, codes < 4
 
 
+def pack_code_batch(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Pack a [B, L] uint8 code batch (0-3 bases, 4 = invalid) into
+    2-bit codes + a validity bitmask for cheap host->device transfer:
+    0.375 bytes/base vs 1 (the tunnel/DCN upload is the bottleneck of
+    real runs — reference streams whole FASTAs into mash/minimap2
+    instead, ``scripts/mash.sh:14``).
+
+    Returns (packed [B, ceil(L/4)] uint8 little-endian 2-bit fields,
+    mask [B, ceil(L/8)] uint8 little-endian bits, L). Unpack on device
+    with :func:`hymet_tpu.ops.hashing.unpack_code_batch_jax`.
+    """
+    B, L = codes.shape
+    Lp = -(-L // 8) * 8
+    c = np.full((B, Lp), 4, dtype=np.uint8)
+    c[:, :L] = codes
+    valid = c < 4
+    two = np.where(valid, c, 0).astype(np.uint16)
+    shifts = np.arange(4, dtype=np.uint16) * 2
+    packed = (two.reshape(B, -1, 4) << shifts).sum(axis=-1).astype(np.uint8)
+    mask = np.packbits(valid, axis=1, bitorder="little")
+    return packed, mask, L
+
+
 def read_fasta_codes(
     path: str,
 ) -> Tuple[List[str], List[np.ndarray]]:

@@ -501,3 +501,22 @@ def kmer_hashes_jax(codes, k: int, seed: int = SEED):
 def pack64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     """(hi, lo) uint32 -> uint64 on host."""
     return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+
+def unpack_code_batch_jax(packed, mask, L: int):
+    """Device-side inverse of :func:`hymet_tpu.io.fasta.pack_code_batch`:
+    [B, L/4] 2-bit fields + [B, L/8] validity bits -> [B, L] uint8 codes
+    with invalid positions restored to 4. Gather-free (per-byte shift
+    stacks + reshape only), so it fuses into whatever jit consumes it.
+    """
+    jnp = _jax_imports()
+    B = packed.shape[0]
+    codes4 = jnp.stack(
+        [(packed >> jnp.uint8(2 * i)) & jnp.uint8(3) for i in range(4)],
+        axis=-1,
+    ).reshape(B, -1)
+    bits = jnp.stack(
+        [(mask >> jnp.uint8(i)) & jnp.uint8(1) for i in range(8)], axis=-1
+    ).reshape(B, -1)
+    codes = jnp.where(bits[:, : codes4.shape[1]] == 1, codes4, jnp.uint8(4))
+    return codes[:, :L]

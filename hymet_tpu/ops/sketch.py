@@ -143,13 +143,98 @@ def _count_eqmm(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
     return counts + cgrid.reshape(Fp)[:F]
 
 
-def _count_impl(db_hi, db_lo, counts, q_hi, q_lo, q_valid, use_eqmm=None):
+# Prefilter compaction geometry: queries reshape to [R, _PREF_COLS] rows;
+# up to _PREF_CAP threshold-survivors kept per row via top_k. Overflowing
+# rows trigger the exact in-jit fallback branch (lax.cond), so the result
+# is always exact regardless of input skew (e.g. low-complexity poly-A
+# runs hashing to one repeated surviving value).
+_PREF_COLS = 4096
+_PREF_CAP = 16
+
+
+def _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
+    """Bottom-sketch threshold prefilter count (TPU default; exact).
+
+    A Mash sketch DB holds only each reference's s *smallest* k-mer
+    hashes (bottom-s MinHash, reference ``scripts/mash.sh:14`` -v/-s
+    semantics), so every DB value is <= t, the largest real DB hash —
+    and t/2^64 ~= s/genome_len (~0.03-0.3%). Query hashes are uniform,
+    so one 64-bit compare against t eliminates ~99.9% of them before any
+    search:
+
+      1. survivor mask: (q <= t) & valid (VPU, one pass),
+      2. compact survivors with a per-row top_k over [R, _PREF_COLS]
+         (key = ~hi_limb; survivor keys strictly dominate the zero key
+         of non-survivors while t's hi limb < 2^32-1),
+      3. binary-search count only the R*_PREF_CAP compacted candidates
+         (~256x fewer gathers than searching the full stream).
+
+    If any row holds more than _PREF_CAP survivors — or the DB is so
+    dense that t's hi limb saturates (toy DBs sketching every k-mer) —
+    a lax.cond falls back to the full-stream formulation in-jit, so the
+    counts match _count_binsearch exactly in every case. Pad sentinels
+    (all-ones) in sharded flat arrays are excluded from the threshold;
+    like the other formulations, a real DB hash of exactly 2^64-1 (a
+    2^-64 event) would be treated as pad and never counted.
+    """
+    F = db_hi.shape[0]
+    U = jnp.uint32(0xFFFFFFFF)
+    q_hi0, q_lo0, q_valid0 = q_hi, q_lo, q_valid
+    real = ~((db_hi == U) & (db_lo == U))
+    n_real = jnp.sum(real.astype(jnp.int32))
+    last = jnp.maximum(n_real - 1, 0)
+    t_hi = db_hi[last]
+    t_lo = db_lo[last]
+    surv = (
+        q_valid
+        & (n_real > 0)
+        & ((q_hi < t_hi) | ((q_hi == t_hi) & (q_lo <= t_lo)))
+    )
+    n = q_hi.shape[0]
+    C = min(_PREF_COLS, n)
+    R = -(-n // C)
+    npad = R * C
+    if npad != n:
+        q_hi = jnp.concatenate([q_hi, jnp.zeros(npad - n, q_hi.dtype)])
+        q_lo = jnp.concatenate([q_lo, jnp.zeros(npad - n, q_lo.dtype)])
+        surv = jnp.concatenate([surv, jnp.zeros(npad - n, bool)])
+    cap = min(_PREF_CAP, C)
+    key = jnp.where(surv, ~q_hi, jnp.uint32(0))
+    key = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
+    _, idx = jax.lax.top_k(key.reshape(R, C), cap)  # [R, cap]
+    gidx = (idx + (jnp.arange(R, dtype=jnp.int32) * C)[:, None]).reshape(-1)
+    s_hi = jnp.take(q_hi, gidx)
+    s_lo = jnp.take(q_lo, gidx)
+    s_v = jnp.take(surv, gidx)
+    row_surv = jnp.sum(surv.reshape(R, C).astype(jnp.int32), axis=1)
+    ok = jnp.all(row_surv <= cap) & (t_hi < U)
+
+    def fast(c):
+        return _count_binsearch(db_hi, db_lo, c, s_hi, s_lo, s_v)
+
+    def slow(c):
+        return _count_impl(
+            db_hi, db_lo, c, q_hi0, q_lo0, q_valid0,
+            use_eqmm=0 < F <= EQMM_MAX_F, use_prefilter=False,
+        )
+
+    return jax.lax.cond(ok, fast, slow, counts)
+
+
+def _count_impl(
+    db_hi, db_lo, counts, q_hi, q_lo, q_valid, use_eqmm=None, use_prefilter=None
+):
     """Trace-time count body shared by the standalone and fused updates.
 
-    ``use_eqmm`` selects the matmul formulation (TPU default — XLA-TPU
-    per-element gathers are pathologically slow) vs the binary-search one
-    (CPU default, and any DB larger than EQMM_MAX_F).
-    """
+    TPU default: the bottom-sketch prefilter (``_count_prefilter``) with
+    an exact in-jit fallback to the one-hot-matmul formulation
+    (``_count_eqmm``, F <= EQMM_MAX_F) or the binary search. CPU default:
+    binary search (XLA-CPU gathers are fast). ``use_eqmm`` /
+    ``use_prefilter`` pin a formulation for tests."""
+    if use_prefilter is None:
+        use_prefilter = use_eqmm is None and jax.default_backend() == "tpu"
+    if use_prefilter and db_hi.shape[0] > 0:
+        return _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid)
     if use_eqmm is None:
         use_eqmm = jax.default_backend() == "tpu"
     if use_eqmm and 0 < db_hi.shape[0] <= EQMM_MAX_F:
@@ -222,6 +307,41 @@ def screen_update_fused(
     )
     # scalar valid-window count rides along (p-values need it; pulling it
     # as 4 bytes beats re-downloading the whole code batch)
+    return new_counts, jnp.sum(valid.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "L", "use_pallas"), donate_argnums=(2,)
+)
+def screen_update_fused_packed(
+    db_hi: jax.Array,
+    db_lo: jax.Array,
+    counts: jax.Array,  # donated
+    packed: jax.Array,  # [B, ceil(L/4)] uint8 2-bit codes
+    mask: jax.Array,  # [B, ceil(L/8)] uint8 validity bits
+    L: int,
+    k: int,
+    use_pallas: bool,
+) -> jax.Array:
+    """screen_update_fused over 2-bit-packed input (0.375 bytes/base on
+    the wire vs 1 — host->device transfer is the real-run bottleneck over
+    tunneled/remote devices). The gather-free unpack fuses into the same
+    program."""
+    from hymet_tpu.ops.hashing import unpack_code_batch_jax
+
+    codes = unpack_code_batch_jax(packed, mask, L)
+    if use_pallas:
+        from hymet_tpu.ops.pallas_kernels import kmer_hashes_pallas
+
+        hi, lo, valid = kmer_hashes_pallas(
+            codes, k, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        hi, lo, valid = kmer_hashes_jax(codes, k)
+    valid = valid.reshape(-1)
+    new_counts = _count_impl(
+        db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid
+    )
     return new_counts, jnp.sum(valid.astype(jnp.int32))
 
 
@@ -323,6 +443,29 @@ class ScreenEngine:
             return
         self.counts, n_valid = screen_update_fused(
             self.db_hi, self.db_lo, self.counts, codes, self.db.k, use_pallas
+        )
+        if self.track_kmers:
+            self.total_query_kmers += int(n_valid)
+
+    def update_codes_packed(self, codes: np.ndarray) -> None:
+        """update_codes from a host [B, L] uint8 batch, shipping 2-bit
+        packed codes + validity bits over the wire (2.7x less transfer;
+        see pack_code_batch). Unpack fuses into the device program."""
+        import os
+
+        from hymet_tpu.io.fasta import pack_code_batch
+
+        flag = os.environ.get("HYMET_PALLAS_HASH")
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = flag == "1" or (flag != "0" and on_tpu)
+        if self.db_hi.shape[0] == 0:
+            if self.track_kmers:
+                self._count_kmers_host(codes)
+            return
+        packed, mask, L = pack_code_batch(np.asarray(codes))
+        self.counts, n_valid = screen_update_fused_packed(
+            self.db_hi, self.db_lo, self.counts,
+            jnp.asarray(packed), jnp.asarray(mask), L, self.db.k, use_pallas,
         )
         if self.track_kmers:
             self.total_query_kmers += int(n_valid)

@@ -75,6 +75,7 @@ class ShardedScreenEngine:
         )
         self.total_query_kmers = 0
         self._update = self._make_update()
+        self._update_packed = {}  # L -> compiled packed step
         self._score = self._make_score()
 
     # ------------------------------------------------------------------
@@ -93,6 +94,41 @@ class ShardedScreenEngine:
         )
         def step(db_hi, db_lo, counts, codes):
             # hash the local data block, then share across the data axis
+            hi, lo, valid = kmer_hashes_jax(codes, k)
+            hi = jax.lax.all_gather(hi, "data").reshape(-1)
+            lo = jax.lax.all_gather(lo, "data").reshape(-1)
+            valid = jax.lax.all_gather(valid, "data").reshape(-1)
+            return _pair_search_count(
+                db_hi[0], db_lo[0], counts[0], hi, lo, valid
+            )[None, :]
+
+        return step
+
+    def _make_update_packed(self, L: int):
+        """Packed-input variant of the update step: 2-bit codes +
+        validity bits shipped per data shard, unpacked on device inside
+        the same program (2.7x less host->device transfer)."""
+        mesh = self.mesh
+        k = self.db.k
+
+        @jax.jit
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P("db", None),
+                P("db", None),
+                P("db", None),
+                P("data", None),
+                P("data", None),
+            ),
+            out_specs=P("db", None),
+            check_vma=False,
+        )
+        def step(db_hi, db_lo, counts, packed, mask):
+            from hymet_tpu.ops.hashing import unpack_code_batch_jax
+
+            codes = unpack_code_batch_jax(packed, mask, L)
             hi, lo, valid = kmer_hashes_jax(codes, k)
             hi = jax.lax.all_gather(hi, "data").reshape(-1)
             lo = jax.lax.all_gather(lo, "data").reshape(-1)
@@ -142,6 +178,39 @@ class ShardedScreenEngine:
         self.counts = self._update(self.db_hi, self.db_lo, self.counts, codes_j)
         # exact valid-window count for p-values (host mirror of the
         # kernel's validity rule)
+        k = self.db.k
+        inv = (codes >= 4).astype(np.int32)
+        csum = np.concatenate(
+            [np.zeros((codes.shape[0], 1), np.int32), np.cumsum(inv, axis=1)],
+            axis=1,
+        )
+        valid = (csum[:, k:] - csum[:, :-k]) == 0
+        self.total_query_kmers += int(valid.sum())
+
+    def update_codes_packed(self, codes: np.ndarray) -> None:
+        """update_codes shipping 2-bit packed codes + validity bits per
+        data shard (see pack_code_batch; 2.7x less transfer)."""
+        from hymet_tpu.io.fasta import pack_code_batch
+
+        n_data = self.mesh.shape["data"]
+        B = codes.shape[0]
+        if B % n_data != 0:
+            pad = n_data - (B % n_data)
+            codes = np.concatenate(
+                [codes, np.full((pad, codes.shape[1]), 4, dtype=np.uint8)]
+            )
+        packed, mask, L = pack_code_batch(codes)
+        step = self._update_packed.get(L)
+        if step is None:
+            step = self._update_packed[L] = self._make_update_packed(L)
+        sh = NamedSharding(self.mesh, P("data", None))
+        self.counts = step(
+            self.db_hi,
+            self.db_lo,
+            self.counts,
+            jax.device_put(packed, sh),
+            jax.device_put(mask, sh),
+        )
         k = self.db.k
         inv = (codes >= 4).astype(np.int32)
         csum = np.concatenate(

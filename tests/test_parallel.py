@@ -78,3 +78,25 @@ def test_sharded_screen_streaming_updates():
     res = seng.finalize()
     assert res.shared[0] == db.n_hashes[0]
     assert res.median[0] == 2
+
+
+def test_sharded_packed_update_matches():
+    """ShardedScreenEngine.update_codes_packed must produce identical
+    counts to the plain update path."""
+    rng = np.random.default_rng(9)
+    genomes = [(f"g{i}", _rand_seq(rng, 6000)) for i in range(8)]
+    db = build_sketch_db_from_sequences(genomes, k=21, sketch_size=64)
+    queries = [genomes[3][1], genomes[5][1][:2500] + b"NN" + genomes[5][1][2500:]]
+    L = max(len(q) for q in queries)
+    codes = np.full((2, L), 4, dtype=np.uint8)
+    for i, q in enumerate(queries):
+        codes[i, : len(q)] = encode_seq(q)
+    mesh = make_mesh(data=2, db=4)
+    a = ShardedScreenEngine(mesh, db)
+    a.update_codes(codes)
+    b = ShardedScreenEngine(mesh, db)
+    b.update_codes_packed(codes)
+    ra, rb = a.finalize(), b.finalize()
+    np.testing.assert_array_equal(ra.identity, rb.identity)
+    np.testing.assert_array_equal(ra.shared, rb.shared)
+    assert a.total_query_kmers == b.total_query_kmers

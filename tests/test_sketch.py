@@ -203,3 +203,73 @@ def test_binom_sf_vs_scipy():
         ours = binom_sf(x, n, p)
         ref = float(scipy_stats.binom.sf(x - 1, n, p))  # P(X >= x)
         assert ours == pytest.approx(ref, rel=1e-9, abs=1e-300), (x, n, p)
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["bottom_fast", "uniform_fallback", "repeat_overflow", "padded_shard", "all_pad"],
+)
+def test_count_prefilter_matches_binsearch(case):
+    """The bottom-sketch prefilter count (TPU default; see
+    _count_prefilter) must equal the binary-search formulation exactly in
+    both its fast path and every fallback regime."""
+    from hymet_tpu.ops.sketch import _count_impl
+
+    rng = np.random.default_rng(23)
+    F, n = 32768, 300000
+    small = np.unique(rng.integers(0, 1 << 44, F * 2, dtype=np.uint64))[:F]
+    if case == "bottom_fast":
+        db = small
+        q = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+        q[:3000] = rng.choice(db, 3000)
+    elif case == "uniform_fallback":
+        # threshold ~ 2^64: nearly everything survives -> overflow branch
+        db = np.unique(rng.integers(0, 1 << 64, F * 2, dtype=np.uint64))[:F]
+        q = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+        q[:5000] = rng.choice(db, 5000)
+    elif case == "repeat_overflow":
+        # low-complexity analogue: one surviving hash repeated past the
+        # per-row cap
+        db = small
+        q = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+        q[:6000] = db[5]
+    elif case == "padded_shard":
+        db = np.concatenate(
+            [small[:1000], np.full(24, 0xFFFFFFFFFFFFFFFF, np.uint64)]
+        )
+        q = rng.integers(0, 1 << 64, 50000, dtype=np.uint64)
+        q[:500] = rng.choice(small[:1000], 500)
+        n = q.shape[0]
+    else:  # all_pad
+        db = np.full(64, 0xFFFFFFFFFFFFFFFF, np.uint64)
+        q = rng.integers(0, 1 << 64, 8192, dtype=np.uint64)
+        n = q.shape[0]
+    valid = rng.random(n) > 0.1
+    sp = lambda x: (
+        jnp.asarray((x >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((x & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
+    dh, dl = sp(db)
+    qh, ql = sp(q)
+    z = jnp.zeros(db.shape[0], jnp.int32)
+    v = jnp.asarray(valid)
+    a = _count_impl(dh, dl, z, qh, ql, v, use_eqmm=False, use_prefilter=False)
+    b = _count_impl(dh, dl, z, qh, ql, v, use_prefilter=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_update_codes_packed_matches_unpacked(db, genomes):
+    """The 2-bit packed upload path (update_codes_packed) must yield
+    byte-identical screen state to the plain uint8 path."""
+    from hymet_tpu.io.fasta import encode_seq
+
+    seq = genomes["gA"] + b"NNNN" + genomes["gB"][:5000]
+    codes = encode_seq(seq)[None, :]
+    a = ScreenEngine(db)
+    a.update_codes(jnp.asarray(codes))
+    b = ScreenEngine(db)
+    b.update_codes_packed(codes)
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    assert a.total_query_kmers == b.total_query_kmers
+    ra, rb = a.finalize(), b.finalize()
+    np.testing.assert_array_equal(ra.identity, rb.identity)
