@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -49,7 +50,9 @@ def _less64(a_hi, a_lo, b_hi, b_lo):
 # the binary-search formulation.
 EQMM_MAX_F = 1 << 17
 _EQMM_SEG = 128  # db entries per segment (lane-width aligned)
-_EQMM_CHUNK = 8192  # query hashes per scan step
+# query hashes per eqmm scan step; overridable for tuning without a
+# code edit (scan-iteration overhead vs VMEM footprint trade)
+_EQMM_CHUNK = int(os.environ.get("HYMET_EQMM_CHUNK", "8192"))
 
 
 def _count_eqmm(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
