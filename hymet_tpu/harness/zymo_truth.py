@@ -19,6 +19,7 @@ from collections import Counter, defaultdict
 from typing import Dict, Iterable, List, Optional, Tuple
 
 from hymet_tpu.io.fasta import iter_fasta
+from hymet_tpu.io.paf import PafRecord, iter_paf
 from hymet_tpu.taxonomy.db import TaxonomyDB
 
 logger = logging.getLogger("hymet_tpu.zymo_truth")
@@ -39,6 +40,15 @@ def load_seqmap(path: str) -> Dict[str, int]:
     return out
 
 
+def _hit_identity(rec: PafRecord) -> float:
+    """Gap-compressed identity, preferring minimap2's ``dv:f:`` divergence
+    tag over nmatch/blocklen (reference build_zymo_truth.py:114-124)."""
+    dv_tag = rec.tags.get("dv", "")
+    if dv_tag.startswith("f:"):
+        return 1.0 - float(dv_tag[2:])
+    return rec.nmatch / rec.blocklen
+
+
 def parse_truth_paf(
     path: str,
     seq2tax: Dict[str, int],
@@ -46,38 +56,23 @@ def parse_truth_paf(
     min_identity: float = 0.95,
     min_coverage: float = 0.5,
 ) -> Dict[str, List[Tuple[int, str, int, float, float]]]:
+    """Collect taxid-resolvable PAF hits per contig that clear the truth
+    thresholds: ``min_match`` aligned bases, ``min_identity`` (dv-tag
+    preferred), and ``min_coverage`` of the query span
+    (reference build_zymo_truth.py:91-131; thresholds ARE the spec)."""
     hits: Dict[str, List[Tuple[int, str, int, float, float]]] = defaultdict(list)
-    with open(path, encoding="utf-8", errors="ignore") as fh:
-        for line in fh:
-            if not line or line.startswith("#"):
-                continue
-            parts = line.strip().split("\t")
-            if len(parts) < 12:
-                continue
-            query = parts[0]
-            qlen = int(parts[1])
-            qstart = int(parts[2])
-            qend = int(parts[3])
-            target = parts[5]
-            match = int(parts[9])
-            block = int(parts[10])
-            if match < min_match or block <= 0:
-                continue
-            dv = None
-            for tag in parts[12:]:
-                if tag.startswith("dv:f:"):
-                    dv = float(tag.split(":", 2)[2])
-                    break
-            identity = 1.0 - dv if dv is not None else match / block
-            if identity < min_identity:
-                continue
-            cov = (qend - qstart) / qlen if qlen > 0 else 0.0
-            if cov < min_coverage:
-                continue
-            taxid = seq2tax.get(target)
-            if taxid is None:
-                continue
-            hits[query].append((taxid, target, match, identity, cov))
+    for rec in iter_paf(path):
+        if rec.nmatch < min_match or rec.blocklen <= 0:
+            continue
+        identity = _hit_identity(rec)
+        if identity < min_identity:
+            continue
+        span_cov = (rec.qend - rec.qstart) / rec.qlen if rec.qlen > 0 else 0.0
+        if span_cov < min_coverage:
+            continue
+        taxid = seq2tax.get(rec.tname)
+        if taxid is not None:
+            hits[rec.qname].append((taxid, rec.tname, rec.nmatch, identity, span_cov))
     return hits
 
 

@@ -17,21 +17,11 @@ from __future__ import annotations
 import csv
 import os
 import pathlib
-from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 DEFAULT_MAX_CANDIDATES = 5000
 
 SUMMARY_FILES = ("assembly_summary_refseq.txt", "assembly_summary_genbank.txt")
-
-
-@dataclass
-class Candidate:
-    name: str
-    score: float
-    species_key: str
-    species_label: str
-    order: int
 
 
 def load_scores(files: Iterable[str]) -> Dict[str, float]:
@@ -114,37 +104,45 @@ def limit_candidates(
     dedupe: bool = False,
     species_map: Optional[Dict[str, Tuple[str, str]]] = None,
 ) -> Tuple[List[str], str]:
-    """Returns (kept names, log summary line)."""
+    """Returns (kept names, log summary line).
+
+    The ordering and tie-break rules are the spec (reference
+    ``limit_candidates.py:217-232``): rank by screen score descending with
+    input position as the deterministic tie-break, then greedily keep the
+    first candidate per dedupe key up to the cap. With ``dedupe`` the key is
+    the assembly summary's species taxid (falling back to the accession);
+    without it every name is its own key, so the pass is a pure top-N.
+    """
     if max_candidates <= 0:
         raise ValueError("max_candidates must be greater than zero")
     species_map = species_map or {}
-    candidates: List[Candidate] = []
-    for idx, name in enumerate(names):
-        score = scores.get(name, float("-inf"))
+
+    def species_key(name: str) -> str:
         accession = accession_from_filename(name)
-        species_key, species_label = species_map.get(accession, (accession, accession))
-        if not dedupe:
-            species_key = name
-        candidates.append(Candidate(name, score, species_key, species_label, idx))
+        return species_map.get(accession, (accession, ""))[0]
 
-    candidates.sort(key=lambda c: (-c.score, c.order))
+    ranked = sorted(
+        range(len(names)),
+        key=lambda i: (-scores.get(names[i], float("-inf")), i),
+    )
 
-    chosen: List[Candidate] = []
-    seen: Dict[str, int] = {}
-    for cand in candidates:
-        if cand.species_key in seen:
+    kept: List[str] = []
+    taken: set = set()
+    for i in ranked:
+        key = species_key(names[i]) if dedupe else names[i]
+        if key in taken:
             continue
-        seen[cand.species_key] = len(chosen)
-        chosen.append(cand)
-        if max_candidates > 0 and len(chosen) >= max_candidates:
+        taken.add(key)
+        kept.append(names[i])
+        if len(kept) >= max_candidates:
             break
 
     summary = (
-        f"[limit_candidates] kept {len(chosen)} / {len(names)} candidates "
-        f"({len(seen) if dedupe else len(chosen)} unique keys) "
+        f"[limit_candidates] kept {len(kept)} / {len(names)} candidates "
+        f"({len(taken)} unique keys) "
         f"{'(species dedupe)' if dedupe else ''}"
     )
-    return [c.name for c in chosen], summary
+    return kept, summary
 
 
 def limit_candidates_files(
