@@ -84,10 +84,36 @@ class ClassificationRun:
 
     def _timed(self, name: str, fn):
         t0 = time.time()
-        out = fn()
+        profile_root = self._profile_root()
+        if profile_root:
+            import jax
+
+            trace_dir = os.path.join(profile_root, name)
+            os.makedirs(trace_dir, exist_ok=True)
+            logger.info("[stage %s] profiling to %s", name, trace_dir)
+            with jax.profiler.trace(trace_dir):
+                out = fn()
+        else:
+            out = fn()
         self.timings[name] = time.time() - t0
         logger.info("[stage %s] %.2fs", name, self.timings[name])
         return out
+
+    def _profile_root(self) -> Optional[str]:
+        """Per-stage ``jax.profiler`` trace directory root, or None.
+
+        The reference wraps every stage in ``/usr/bin/time -v``
+        (bench/lib/measure.sh:46); the TPU-native analog (SURVEY §5
+        tracing) adds XLA-level traces: ``HYMET_PROFILE=1`` writes
+        ``<outdir>/logs/profile/<stage>/``, any other value is used as the
+        root directory itself. Traces load in TensorBoard / xprof.
+        """
+        flag = os.environ.get("HYMET_PROFILE", "")
+        if not flag:
+            return None
+        if flag == "1":
+            return os.path.join(self.cfg.outdir, "logs", "profile")
+        return flag
 
     def _stage_screen(self) -> str:
         cfg = self.cfg

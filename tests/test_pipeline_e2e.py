@@ -262,3 +262,22 @@ def test_testdataset_self_check(world, tmp_path):
             assert sid in rows, f"{sid} missing from output"
             assert f"species:{species}" in rows[sid][1], (sid, rows[sid])
             assert rows[sid][2] == "species"
+
+
+def test_profile_traces_per_stage(world, tmp_path, monkeypatch):
+    """HYMET_PROFILE=1 writes a loadable jax.profiler trace dir per stage
+    next to the run outputs (SURVEY §5 tracing: the /usr/bin/time -v
+    analog of bench/lib/measure.sh:46 plus XLA-level traces)."""
+    monkeypatch.setenv("HYMET_PROFILE", "1")
+    outdir = tmp_path / "out"
+    cfg = _config(world, outdir)
+    cfg.cache_root = str(tmp_path / "cache")
+    ClassificationRun(cfg).execute()
+
+    prof_root = outdir / "logs" / "profile"
+    stages = {p.name for p in prof_root.iterdir()}
+    assert stages >= {"screen", "limit", "reference", "align", "classify", "export"}
+    # each compute stage produced an xplane/trace artifact
+    for stage in ("screen", "align", "classify"):
+        files = [f for f in (prof_root / stage).rglob("*") if f.is_file()]
+        assert files, f"no trace files for stage {stage}"
