@@ -17,11 +17,13 @@ _debug_info.txt):
   with cov/id >= 0.95 (``:499-528``) — the last leg uses our minimizer
   aligner instead of a minimap2 subprocess.
 
-All taxonkit subprocess calls are TaxonomyDB lookups. One documented
-deviation: when accumulating taxpath profiles we skip empty rank slots
-(the reference accumulates an empty-string taxon when taxonkit emits an
-empty field, ``eval_cami.py:322-324`` — a bug that pollutes presence
-counts).
+All taxonkit subprocess calls are TaxonomyDB lookups. Reference quirks
+are preserved for byte parity: rank-truncated lineages accumulate an
+empty-string taxon in rebuilt profiles (``eval_cami.py:322-324``) and
+count as incorrect (not excluded) rows in per-rank contig accuracy
+(``:544``) — arguably bugs, but the evaluator must report the same
+numbers as the reference's own evaluator on the same inputs
+(oracle: tests/test_eval_oracle.py::test_profile_rebuild_byte_parity).
 """
 
 from __future__ import annotations
@@ -452,7 +454,11 @@ def profiles_from_contig_maps(
         w = lengths.get(cont, 1)
         ids = paths[tid][0].split("|")
         for i, r in enumerate(RANKS):
-            if i < len(ids) and ids[i] and ids[i] != "NA":
+            # reference quirk preserved: empty (rank-truncated) slots
+            # accumulate under the "" key (eval_cami.py:322-324), so a
+            # genus-level call still contributes "unassigned" mass at
+            # species rank and "" can match "" in presence P/R/F1
+            if i < len(ids) and ids[i] != "NA":
                 prof[r][ids[i]] += w
                 acc[r] += w
     for r in RANKS:
@@ -560,7 +566,10 @@ def eval_contigs(
             if i >= len(pvec) or i >= len(gvec):
                 continue
             pid, gid = pvec[i], gvec[i]
-            if not pid or not gid or pid == "NA" or gid == "NA":
+            # the reference counts empty (rank-truncated) slots — only "NA"
+            # is skipped — so a genus-level prediction scores as incorrect
+            # at species rank rather than being excluded (eval_cami.py:544)
+            if pid == "NA" or gid == "NA":
                 continue
             tot += 1
             if pid == gid:

@@ -273,3 +273,41 @@ def test_update_codes_packed_matches_unpacked(db, genomes):
     assert a.total_query_kmers == b.total_query_kmers
     ra, rb = a.finalize(), b.finalize()
     np.testing.assert_array_equal(ra.identity, rb.identity)
+
+
+def test_pvalue_total_vs_distinct_decision_boundary():
+    """Pin the envelope of the total-vs-distinct k-mer approximation in
+    ScreenResult.pvalues (ops/sketch.py): Mash estimates r_null from the
+    number of DISTINCT query k-mers, we use the total valid-window count.
+    Total >= distinct makes our p-values monotonically conservative
+    (larger), so the only possible effect on the ``mash screen -v 0.9``
+    filter (scripts/mash.sh:14) is dropping a borderline row, never
+    keeping a spurious one — and at k=21 a flip requires >1e10 total query
+    k-mers (a >10 Gbp sample), far above any single screen's stream.
+    """
+    from hymet_tpu.ops.sketch import binom_sf
+
+    k, s = 21, 1000
+    kspace = 4.0**k
+
+    def pval(shared, n_kmers):
+        r = 1.0 / (1.0 + kspace / max(n_kmers, 1))
+        return binom_sf(shared, s, r)
+
+    # conservative direction: p is monotone nondecreasing in the k-mer count
+    for shared in (1, 2, 5, 10, 100):
+        assert pval(shared, 10**9) >= pval(shared, 10**8) >= pval(shared, 10**6)
+
+    # worst realistic case: a full 4 Gbp sample where nearly all k-mers are
+    # repeats (total=4e9, distinct=1e3) — the -v 0.9 decision agrees for
+    # every possible shared count (shared=1 is the extreme; p decreases
+    # with shared)
+    total, distinct = 4_000_000_000, 1_000
+    assert pval(1, total) <= 0.9 and pval(1, distinct) <= 0.9
+    for shared in (1, 2, 5, 50, s):
+        assert (pval(shared, total) <= 0.9) == (pval(shared, distinct) <= 0.9)
+
+    # the flip region exists only beyond ~1e10 total k-mers at k=21:
+    # document the boundary so any future k/s change re-derives it
+    assert pval(1, 11_000_000_000) > 0.9
+    assert pval(1, 5_000_000_000) <= 0.9
