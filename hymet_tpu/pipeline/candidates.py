@@ -17,6 +17,7 @@ from __future__ import annotations
 import csv
 import os
 import pathlib
+import sys
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 DEFAULT_MAX_CANDIDATES = 5000
@@ -174,7 +175,10 @@ def limit_candidates_files(
             f.write(name + "\n")
     os.replace(tmp_path, output_path)
 
-    print(summary)
+    # stderr, not stdout: library stages must never pollute the stdout of
+    # drivers with machine-readable output contracts (bench.py's one JSON
+    # line; the reference routes this line to its log at run_hymet_cami.sh:119)
+    print(summary, file=sys.stderr)
     if log_path:
         os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
         with open(log_path, "a", encoding="utf-8") as f:
