@@ -90,6 +90,43 @@ class SketchDB:
 
     # ------------------------------------------------------------------
 
+    @classmethod
+    def concat(cls, dbs: Sequence["SketchDB"]) -> "SketchDB":
+        """Row-concatenate DBs with the same k into one screening DB.
+
+        The reference screens sketch1..3 sequentially, re-streaming the
+        full query set per DB (``run_hymet_cami.sh:83-99``); a merged DB
+        lets one device pass score all references, with per-DB rows
+        recovered by :meth:`hymet_tpu.ops.sketch.ScreenResult.slice`
+        (per-reference scores depend only on that reference's hashes, so
+        merged results are identical to sequential ones)."""
+        ks = {db.k for db in dbs}
+        if len(ks) != 1:
+            raise ValueError(f"cannot concat sketch DBs with mixed k: {ks}")
+        s = max(db.hashes.shape[1] for db in dbs)
+        rows = []
+        for db in dbs:
+            h = db.hashes
+            if h.shape[1] < s:
+                pad = np.full(
+                    (h.shape[0], s - h.shape[1]), PAD_HASH, dtype=np.uint64
+                )
+                h = np.concatenate([h, pad], axis=1)
+            rows.append(h)
+        return cls(
+            k=dbs[0].k,
+            sketch_size=max(db.sketch_size for db in dbs),
+            hashes=np.concatenate(rows, axis=0),
+            n_hashes=np.concatenate([db.n_hashes for db in dbs]),
+            names=[n for db in dbs for n in db.names],
+            lengths=np.concatenate([db.lengths for db in dbs]),
+            comments=[
+                c
+                for db in dbs
+                for c in (db.comments or [""] * db.n_refs)
+            ],
+        )
+
     def shard(self, n_shards: int) -> List["SketchDB"]:
         """Row-contiguous reference shards for the ``db`` mesh axis."""
         out = []

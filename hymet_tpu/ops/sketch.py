@@ -424,9 +424,16 @@ class ScreenEngine:
         self.ref_idx = jnp.asarray(ref_idx)
         self.n_hashes = jnp.asarray(db.n_hashes)
         self.total_query_kmers = 0
+        # per-batch valid-window counts stay on device until finalize():
+        # an int() per update would block the host on that batch's result
+        # and serialize the upload/compute stream
+        self._kmer_parts: list = []
         # p-values need the query k-mer count; benches disable the
         # device->host sync it costs
         self.track_kmers = track_kmers
+        flag = os.environ.get("HYMET_PALLAS_HASH")
+        on_tpu = jax.default_backend() == "tpu"
+        self._use_pallas = flag == "1" or (flag != "0" and on_tpu)
 
     def update(self, q_hi, q_lo, q_valid) -> None:
         if self.db_hi.shape[0] == 0:  # empty DB: nothing to count
@@ -445,32 +452,23 @@ class ScreenEngine:
         On TPU the fused Pallas kernel is the default (measured 26-265x
         the plain-jnp formulation on v5e); HYMET_PALLAS_HASH=0 forces the
         jnp path, =1 forces Pallas even off-TPU (interpret)."""
-        import os
-
-        flag = os.environ.get("HYMET_PALLAS_HASH")
-        on_tpu = jax.default_backend() == "tpu"
-        use_pallas = flag == "1" or (flag != "0" and on_tpu)
         if self.db_hi.shape[0] == 0:
             if self.track_kmers:
                 self._count_kmers_host(codes)
             return
         self.counts, n_valid = screen_update_fused(
-            self.db_hi, self.db_lo, self.counts, codes, self.db.k, use_pallas
+            self.db_hi, self.db_lo, self.counts, codes, self.db.k,
+            self._use_pallas,
         )
         if self.track_kmers:
-            self.total_query_kmers += int(n_valid)
+            self._kmer_parts.append(n_valid)
 
     def update_codes_packed(self, codes: np.ndarray) -> None:
         """update_codes from a host [B, L] uint8 batch, shipping 2-bit
         packed codes + validity bits over the wire (2.7x less transfer;
         see pack_code_batch). Unpack fuses into the device program."""
-        import os
-
         from hymet_tpu.io.fasta import pack_code_batch
 
-        flag = os.environ.get("HYMET_PALLAS_HASH")
-        on_tpu = jax.default_backend() == "tpu"
-        use_pallas = flag == "1" or (flag != "0" and on_tpu)
         if self.db_hi.shape[0] == 0:
             if self.track_kmers:
                 self._count_kmers_host(codes)
@@ -478,10 +476,11 @@ class ScreenEngine:
         packed, mask, L = pack_code_batch(np.asarray(codes))
         self.counts, n_valid = screen_update_fused_packed(
             self.db_hi, self.db_lo, self.counts,
-            jnp.asarray(packed), jnp.asarray(mask), L, self.db.k, use_pallas,
+            jnp.asarray(packed), jnp.asarray(mask), L, self.db.k,
+            self._use_pallas,
         )
         if self.track_kmers:
-            self.total_query_kmers += int(n_valid)
+            self._kmer_parts.append(n_valid)
 
     def _count_kmers_host(self, codes) -> None:
         """Exact valid-window count (empty-DB path only — the fused kernel
@@ -499,6 +498,11 @@ class ScreenEngine:
         identity, shared, median = screen_scores(
             self.counts, self.ref_idx, self.n_hashes, self.db.k
         )
+        if self._kmer_parts:
+            # single deferred sync for all batches (each part < 2^31:
+            # one batch is at most a few Mbp of windows)
+            self.total_query_kmers += sum(int(x) for x in self._kmer_parts)
+            self._kmer_parts = []
         return ScreenResult(
             db=self.db,
             identity=np.asarray(identity),
@@ -516,6 +520,21 @@ class ScreenResult:
         self.median = median
         self.total_query_kmers = total_query_kmers
         self._pvalues = None
+
+    def slice(self, offset: int, db: "SketchDB") -> "ScreenResult":
+        """Per-DB view of a merged-DB screen (see ``SketchDB.concat``):
+        rows [offset, offset+db.n_refs) re-homed onto the original DB.
+        Scores are per-reference and the p-value null model depends only
+        on the query k-mer count and that reference's sketch size, so the
+        slice is byte-identical to screening `db` alone."""
+        n = db.n_refs
+        return ScreenResult(
+            db=db,
+            identity=self.identity[offset : offset + n],
+            shared=self.shared[offset : offset + n],
+            median=self.median[offset : offset + n],
+            total_query_kmers=self.total_query_kmers,
+        )
 
     def pvalues(self) -> np.ndarray:
         """Null-model p-values per reference, Mash-style: probability of

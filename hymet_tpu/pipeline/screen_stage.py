@@ -47,6 +47,18 @@ def screen_queries(
     pvalue_max: float = DEFAULT_PVALUE_MAX,
     mesh=None,
 ) -> List[ScreenRow]:
+    """Stream all query sequences through the screen engine and filter
+    (see :func:`stream_screen`)."""
+    res = stream_screen(db, query_files, chunk_bp=chunk_bp, mesh=mesh)
+    return screen_rows_filtered(res, pvalue_max)
+
+
+def stream_screen(
+    db: SketchDB,
+    query_files: Sequence[str],
+    chunk_bp: int = 1 << 20,
+    mesh=None,
+) -> ScreenResult:
     """Stream all sequences of all query files through the screen engine.
 
     Sequences are chunked to `chunk_bp` with k-1 overlap so no window is
@@ -54,8 +66,6 @@ def screen_queries(
     the engine's jit cache by chunk size). With a mesh, the db-sharded
     multi-device engine is used instead.
     """
-    import jax.numpy as jnp
-
     if mesh is not None:
         from hymet_tpu.parallel.screen import ShardedScreenEngine
 
@@ -104,8 +114,7 @@ def screen_queries(
                     break
                 start = end - (k - 1)
     flush()
-    res = eng.finalize()
-    return screen_rows_filtered(res, pvalue_max)
+    return eng.finalize()
 
 
 def _pad_chunk(chunk: np.ndarray, size: int) -> np.ndarray:
@@ -195,9 +204,30 @@ def run_screen_stage(
     """
     os.makedirs(outdir, exist_ok=True)
     labels = list(db_labels) if db_labels else [f"db{i+1}" for i in range(len(dbs))]
+
+    # single-pass screening: when every DB shares k (the reference's
+    # sketch1-3 all do), merge their rows and stream the query set ONCE —
+    # the reference re-streams per DB (run_hymet_cami.sh:83-99), which on
+    # TPU would triple the upload + hash cost. Per-DB rows are recovered
+    # by slicing (byte-identical to sequential screens).
+    results: List[ScreenResult]
+    if len(dbs) > 1 and len({db.k for db in dbs}) == 1:
+        merged = SketchDB.concat(dbs)
+        res = stream_screen(merged, query_files, chunk_bp=chunk_bp, mesh=mesh)
+        results = []
+        off = 0
+        for db in dbs:
+            results.append(res.slice(off, db))
+            off += db.n_refs
+    else:
+        results = [
+            stream_screen(db, query_files, chunk_bp=chunk_bp, mesh=mesh)
+            for db in dbs
+        ]
+
     union: List[str] = []
-    for db, label in zip(dbs, labels):
-        rows = screen_queries(db, query_files, chunk_bp=chunk_bp, mesh=mesh)
+    for db, label, res in zip(dbs, labels, results):
+        rows = screen_rows_filtered(res, DEFAULT_PVALUE_MAX)
         write_screen_tab(os.path.join(outdir, f"{label}_screen.tab"), rows)
         srt = unique_sorted_rows(rows)
         write_screen_tab(os.path.join(outdir, f"{label}_sorted.tab"), srt)

@@ -97,6 +97,43 @@ def test_run_screen_stage_end_to_end(tmp_path):
     assert (tmp_path / "out" / "db1_screen.tab").exists()
 
 
+def test_run_screen_stage_merged_matches_sequential(tmp_path):
+    """The multi-DB stage screens once over a merged DB; its per-DB
+    outputs must be byte-identical to sequential per-DB screens."""
+    rng = np.random.default_rng(71)
+    genomes = {f"g{i}": _rand_seq(rng, 6000) for i in range(9)}
+    items = list(genomes.items())
+    dbs = [
+        build_sketch_db_from_sequences(items[0:3], k=21, sketch_size=80),
+        build_sketch_db_from_sequences(items[3:6], k=21, sketch_size=120),
+        build_sketch_db_from_sequences(items[6:9], k=21, sketch_size=80),
+    ]
+    qf = tmp_path / "query.fna"
+    with qf.open("w") as f:
+        f.write(">c1\n" + genomes["g1"].decode() + "\n")
+        f.write(">c2\n" + genomes["g4"][:3000].decode() + "\n")
+        f.write(">c3\n" + genomes["g8"].decode() + "\n")
+
+    merged_out = tmp_path / "merged"
+    sel_merged = run_screen_stage(dbs, [str(qf)], str(merged_out))
+
+    # sequential oracle: per-DB single-DB stages (each its own stream)
+    seq_out = tmp_path / "seq"
+    union = []
+    for i, db in enumerate(dbs):
+        sub = run_screen_stage(
+            [db], [str(qf)], str(seq_out / f"d{i}"), db_labels=[f"db{i+1}"]
+        )
+        union.extend(sub)
+    assert sel_merged == sorted(set(union))
+    for i in range(3):
+        label = f"db{i+1}"
+        for suffix in ("screen", "sorted", "top_hits"):
+            a = (merged_out / f"{label}_{suffix}.tab").read_text()
+            b = (seq_out / f"d{i}" / f"{label}_{suffix}.tab").read_text()
+            assert a == b, f"{label}_{suffix}.tab differs"
+
+
 # ---------------------------------------------------------------------
 # limit_candidates oracle parity
 
