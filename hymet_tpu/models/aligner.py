@@ -23,6 +23,7 @@ of cumulative indels — the asm10 regime (<=10% divergence assemblies).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -113,24 +114,9 @@ def _extract_collect_sort_fused(
     return out + (n_kept,)
 
 
-@functools.partial(jax.jit, static_argnames=("max_occ", "band_bits"))
-def _collect_and_sort_anchors(
-    idx_hi,
-    idx_lo,
-    idx_seq,
-    idx_pos,
-    idx_strand,
-    q_hi,  # [N] flat compacted query minimizers
-    q_lo,
-    qpos,
-    qstrand,
-    qid,
-    q_valid,
-    max_occ: int,
-    band_bits: int,
-):
-    """Anchors for a flat, pre-compacted minimizer list, sorted by
-    (query, ref seq, strand|band, qpos). Returns sorted columns + validity."""
+def _search_occ(idx_hi, idx_lo, q_hi, q_lo):
+    """Double lower/upper-bound binary search of query minimizers in the
+    sorted index: returns (left, occ) per query minimizer."""
     import math
 
     M = idx_hi.shape[0]
@@ -156,7 +142,29 @@ def _collect_and_sort_anchors(
 
     left = search(le=False)
     right = search(le=True)
-    occ = right - left
+    return left, right - left
+
+
+@functools.partial(jax.jit, static_argnames=("max_occ", "band_bits"))
+def _collect_and_sort_anchors(
+    idx_hi,
+    idx_lo,
+    idx_seq,
+    idx_pos,
+    idx_strand,
+    q_hi,  # [N] flat compacted query minimizers
+    q_lo,
+    qpos,
+    qstrand,
+    qid,
+    q_valid,
+    max_occ: int,
+    band_bits: int,
+):
+    """Anchors for a flat, pre-compacted minimizer list, sorted by
+    (query, ref seq, strand|band, qpos). Returns sorted columns + validity."""
+    M = idx_hi.shape[0]
+    left, occ = _search_occ(idx_hi, idx_lo, q_hi, q_lo)
 
     keep = q_valid & (occ > 0) & (occ <= max_occ)
 
@@ -186,6 +194,242 @@ def _collect_and_sort_anchors(
     )
     n_valid = jnp.sum(valid.astype(jnp.int32))
     return s_q, s_s, s_b, s_p, s_r, n_valid
+
+
+def _collect_anchors_compact(
+    idx_hi,
+    idx_lo,
+    idx_seq,
+    idx_pos,
+    idx_strand,
+    q_hi,  # [N] flat compacted query minimizers
+    q_lo,
+    qpos,
+    qstrand,
+    qid,
+    q_valid,
+    max_occ: int,
+    band_bits: int,
+    acap: int,
+):
+    """Anchor collection with prefix-sum scatter compaction: anchors land
+    densely in [acap] slots instead of the [N, max_occ] grid, so the 4-key
+    sort runs over ~max_occ/avg_occ times fewer elements (the grid sort was
+    the aligner's dominant device cost). Returns sorted anchor columns
+    [acap] (0xFFFFFFFF sentinel rows past the end) + n_anchors (> acap
+    means overflow: caller must retry with a larger acap)."""
+    M = idx_hi.shape[0]
+    left, occ = _search_occ(idx_hi, idx_lo, q_hi, q_lo)
+    keep = q_valid & (occ > 0) & (occ <= max_occ)
+    occk = jnp.where(keep, occ, 0)
+    base = jnp.cumsum(occk) - occk  # exclusive prefix sum
+    n_anchors = jnp.sum(occk)
+
+    N = q_hi.shape[0]
+    j = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
+    a_idx = jnp.clip(left[:, None] + j, 0, max(M - 1, 0))
+    valid = keep[:, None] & (j < occ[:, None])
+
+    seq = idx_seq[a_idx]
+    rpos = idx_pos[a_idx]
+    rstrand = idx_strand[a_idx].astype(jnp.int32)
+    rel = (qstrand[:, None] ^ rstrand) & 1
+    diag = jnp.where(rel == 0, rpos - qpos[:, None], rpos + qpos[:, None])
+    band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
+    sb = (rel.astype(jnp.uint32) << 24) | band
+
+    rows = jnp.stack(
+        [
+            jnp.broadcast_to(qid[:, None].astype(jnp.uint32), (N, max_occ)),
+            seq.astype(jnp.uint32),
+            sb,
+            jnp.broadcast_to(qpos[:, None].astype(jnp.uint32), (N, max_occ)),
+            rpos.astype(jnp.uint32),
+        ],
+        axis=-1,
+    ).reshape(-1, 5)
+    tgt = jnp.where(valid, jnp.minimum(base[:, None] + j, acap), acap).reshape(-1)
+    dense = (
+        jnp.full((acap + 1, 5), 0xFFFFFFFF, dtype=jnp.uint32)
+        .at[tgt]
+        .set(rows, mode="drop")[:acap]
+    )
+    s_q, s_s, s_b, s_p, s_r = jax.lax.sort(
+        (dense[:, 0], dense[:, 1], dense[:, 2], dense[:, 3], dense[:, 4]),
+        dimension=0,
+        num_keys=4,
+    )
+    return s_q, s_s, s_b, s_p, s_r, n_anchors
+
+
+def _chain_reduce_sorted(
+    s_q, s_s, s_b, s_p, s_r, k: int, min_cnt: int, min_mlen: int, ccap: int
+):
+    """On-device chain segmentation over 4-key-sorted anchors (replaces
+    the host reduceat + band-merge while-loop — ROADMAP items 3-4).
+
+    A chain breaks where (query, seq, strand) changes or the diagonal
+    band jumps by >= 2 (bands are sorted ascending within a group, so
+    consecutive-anchor band deltas equal consecutive-segment deltas —
+    the +-1-band merge of the host path, expressed per anchor). Per-chain
+    min/max extents come from one segmented associative scan; counts from
+    the cummax-of-start-indices trick. Good chains (count >= min_cnt,
+    mlen >= min_mlen) scatter-compact into [ccap, 8] uint32 rows
+    (qid, seq, rel, count, minq, maxq, minr, maxr); n_chains > ccap
+    means overflow (caller retries with larger ccap)."""
+    A = s_q.shape[0]
+    big = jnp.uint32(0xFFFFFFFF)
+    valid = s_q != big
+    band = s_b & jnp.uint32(0xFFFFFF)
+    rel = (s_b >> 24) & jnp.uint32(0xF)
+    same = (
+        (s_q[1:] == s_q[:-1])
+        & (s_s[1:] == s_s[:-1])
+        & (rel[1:] == rel[:-1])
+        & (band[1:] - band[:-1] <= 1)
+    )
+    start = jnp.concatenate([jnp.ones((1,), bool), ~same])
+    iota = jnp.arange(A, dtype=jnp.int32)
+
+    def comb(x, y):
+        fx, mnqx, mxqx, mnrx, mxrx = x
+        fy, mnqy, mxqy, mnry, mxry = y
+        return (
+            fx | fy,
+            jnp.where(fy, mnqy, jnp.minimum(mnqx, mnqy)),
+            jnp.where(fy, mxqy, jnp.maximum(mxqx, mxqy)),
+            jnp.where(fy, mnry, jnp.minimum(mnrx, mnry)),
+            jnp.where(fy, mxry, jnp.maximum(mxrx, mxry)),
+        )
+
+    _, minq, maxq, minr, maxr = jax.lax.associative_scan(
+        comb, (start, s_p, s_p, s_r, s_r)
+    )
+    start_idx = jax.lax.cummax(jnp.where(start, iota, 0))
+    cnt = iota - start_idx + 1
+    is_end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
+    span_q = (maxq - minq).astype(jnp.int32) + k
+    mlen = jnp.minimum(cnt * k, span_q)
+    good = is_end & valid & (cnt >= min_cnt) & (mlen >= min_mlen)
+    n_chains = jnp.sum(good.astype(jnp.int32))
+    out_pos = jnp.cumsum(good.astype(jnp.int32)) - 1
+    tgt = jnp.where(good, jnp.minimum(out_pos, ccap - 1), ccap)
+    rows = jnp.stack(
+        [s_q, s_s, rel, cnt.astype(jnp.uint32), minq, maxq, minr, maxr],
+        axis=-1,
+    )
+    out = (
+        jnp.zeros((ccap + 1, 8), dtype=jnp.uint32)
+        .at[tgt]
+        .set(rows, mode="drop")[:ccap]
+    )
+    return out, n_chains
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "w",
+        "max_occ",
+        "band_bits",
+        "cap",
+        "acap",
+        "ccap",
+        "min_cnt",
+        "min_mlen",
+    ),
+)
+def _extract_chains_fused(
+    idx_hi,
+    idx_lo,
+    idx_seq,
+    idx_pos,
+    idx_strand,
+    batch,  # [B, L] uint8 codes
+    k: int,
+    w: int,
+    max_occ: int,
+    band_bits: int,
+    cap: int,
+    acap: int,
+    ccap: int,
+    min_cnt: int,
+    min_mlen: int,
+):
+    """Whole aligner device path as ONE program: minimizer extraction ->
+    compaction -> anchor search -> scatter-compacted 4-key sort ->
+    on-device chain segmentation + filtering. The host receives only the
+    final [ccap, 8] chain rows (~KB) instead of per-anchor arrays (~MB).
+    Returns (chains, n_chains, n_kept, n_anchors); any count above its
+    cap means the caller must retry with that cap doubled."""
+    m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(batch, k, w)
+    B, NW = m_hi.shape
+    qid = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, NW)
+    ).reshape(-1)
+    not_keep = (~m_keep).reshape(-1).astype(jnp.uint32)
+    _, c_hi, c_lo, c_pos, c_strand, c_qid = jax.lax.sort(
+        (
+            not_keep,
+            m_hi.reshape(-1),
+            m_lo.reshape(-1),
+            m_pos.reshape(-1).astype(jnp.uint32),
+            m_strand.reshape(-1).astype(jnp.uint32),
+            qid.astype(jnp.uint32),
+        ),
+        dimension=0,
+        num_keys=1,
+    )
+    n_kept = jnp.sum(m_keep.astype(jnp.int32))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+    valid = iota < n_kept
+    s_q, s_s, s_b, s_p, s_r, n_anchors = _collect_anchors_compact(
+        idx_hi,
+        idx_lo,
+        idx_seq,
+        idx_pos,
+        idx_strand,
+        c_hi[:cap],
+        c_lo[:cap],
+        c_pos[:cap].astype(jnp.int32),
+        c_strand[:cap].astype(jnp.int32),
+        c_qid[:cap].astype(jnp.int32),
+        valid,
+        max_occ,
+        band_bits,
+        acap,
+    )
+    chains, n_chains = _chain_reduce_sorted(
+        s_q, s_s, s_b, s_p, s_r, k, min_cnt, min_mlen, ccap
+    )
+    return chains, n_chains, n_kept, n_anchors
+
+
+def _chains_from_rows(
+    rows: np.ndarray, k: int, seq_offset: int = 0
+) -> List["_Chain"]:
+    """Build _Chain objects from device [n, 8] uint32 chain rows."""
+    arr = rows.astype(np.int64)
+    out = []
+    for q, s, rel, cnt, minq, maxq, minr, maxr in arr:
+        span_q = maxq - minq + k
+        span_r = maxr - minr + k
+        out.append(
+            _Chain(
+                qid=int(q),
+                seq=int(s) + seq_offset,
+                rel=int(rel),
+                count=int(cnt),
+                minq=int(minq),
+                maxq=int(maxq),
+                minr=int(minr),
+                maxr=int(maxr),
+                mlen=int(min(cnt * k, span_q)),
+                blen=int(max(span_q, span_r)),
+            )
+        )
+    return out
 
 
 @dataclass
@@ -285,35 +529,78 @@ class MinimizerAligner:
         # on-device compaction cap: minimizer density ~2/(w+1) => NW/4 is
         # ~2.5x headroom; power-of-two for compile-cache stability
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
-        s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = _extract_collect_sort_fused(
-            self._idx_hi,
-            self._idx_lo,
-            self._idx_seq,
-            self._idx_pos,
-            self._idx_strand,
-            batch if hasattr(batch, "devices") else jnp.asarray(batch),
-            k,
-            self.index.w,
-            cfg.max_occ,
-            cfg.band_bits,
-            cap,
-        )
-        if int(n_kept) > cap:  # pathological minimizer density
-            raise RuntimeError(
-                f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
+        batch_j = batch if hasattr(batch, "devices") else jnp.asarray(batch)
+
+        if os.environ.get("HYMET_HOST_CHAINS") == "1":
+            # legacy host-segmentation path (kept for A/B parity checks)
+            s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = _extract_collect_sort_fused(
+                self._idx_hi,
+                self._idx_lo,
+                self._idx_seq,
+                self._idx_pos,
+                self._idx_strand,
+                batch_j,
+                k,
+                self.index.w,
+                cfg.max_occ,
+                cfg.band_bits,
+                cap,
             )
-        n = int(n_valid)
+            if int(n_kept) > cap:  # pathological minimizer density
+                raise RuntimeError(
+                    f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
+                )
+            n = int(n_valid)
+            if n == 0:
+                return []
+            return chains_from_sorted_anchors(
+                np.asarray(s_q[:n]).astype(np.int64),
+                np.asarray(s_s[:n]).astype(np.int64),
+                np.asarray(s_b[:n]).astype(np.int64),
+                np.asarray(s_p[:n]).astype(np.int64),
+                np.asarray(s_r[:n]).astype(np.int64),
+                k,
+                cfg,
+            )
+
+        # fused device path: anchors are scatter-compacted (typical occ is
+        # ~1-2, far below max_occ) and chains segment on device; retry with
+        # doubled caps on the rare overflow (each retry is one recompile)
+        acap = 2 * cap
+        ccap = max(1024, min(acap, 1 << 14))
+        while True:
+            chains, n_chains, n_kept, n_anchors = _extract_chains_fused(
+                self._idx_hi,
+                self._idx_lo,
+                self._idx_seq,
+                self._idx_pos,
+                self._idx_strand,
+                batch_j,
+                k,
+                self.index.w,
+                cfg.max_occ,
+                cfg.band_bits,
+                cap,
+                acap,
+                ccap,
+                cfg.min_cnt,
+                cfg.min_mlen,
+            )
+            if int(n_kept) > cap:  # pathological minimizer density
+                raise RuntimeError(
+                    f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
+                )
+            if int(n_anchors) > acap:
+                acap *= 2
+                continue
+            if int(n_chains) > ccap:
+                ccap *= 2
+                continue
+            break
+        n = int(n_chains)
         if n == 0:
             return []
-        return chains_from_sorted_anchors(
-            np.asarray(s_q[:n]).astype(np.int64),
-            np.asarray(s_s[:n]).astype(np.int64),
-            np.asarray(s_b[:n]).astype(np.int64),
-            np.asarray(s_p[:n]).astype(np.int64),
-            np.asarray(s_r[:n]).astype(np.int64),
-            k,
-            cfg,
-        )
+        return _chains_from_rows(np.asarray(chains[:n]), k)
 
 
 def chains_from_sorted_anchors(

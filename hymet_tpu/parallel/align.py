@@ -27,8 +27,8 @@ from hymet_tpu.io.minimizer_index import MinimizerIndex
 from hymet_tpu.io.paf import PafRecord
 from hymet_tpu.models.aligner import (
     AlignerConfig,
-    _extract_collect_sort_fused,
-    chains_from_sorted_anchors,
+    _chains_from_rows,
+    _extract_chains_fused,
     emit_paf,
 )
 
@@ -73,9 +73,10 @@ class ShardedMinimizerAligner:
         self._idx_strand = jax.device_put(idx_strand, db_shard)
         self._collect_cache = {}
 
-    def _get_collect(self, cap: int):
-        if cap in self._collect_cache:
-            return self._collect_cache[cap]
+    def _get_collect(self, cap: int, acap: int, ccap: int):
+        key = (cap, acap, ccap)
+        if key in self._collect_cache:
+            return self._collect_cache[key]
         mesh = self.mesh
         cfg = self.cfg
         k, w = self.index.k, self.index.w
@@ -93,11 +94,8 @@ class ShardedMinimizerAligner:
                 P(),
             ),
             out_specs=(
-                P("db", None),
-                P("db", None),
-                P("db", None),
-                P("db", None),
-                P("db", None),
+                P("db", None, None),
+                P("db"),
                 P("db"),
                 P("db"),
             ),
@@ -106,8 +104,9 @@ class ShardedMinimizerAligner:
         def collect(i_hi, i_lo, i_seq, i_pos, i_str, batch):
             # the fully-fused single-device path runs per shard against the
             # local index slice (extraction is recomputed per shard — cheap
-            # relative to any host round trip)
-            s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = _extract_collect_sort_fused(
+            # relative to any host round trip); chains segment on device,
+            # so only [ccap, 8] chain rows per shard reach the host
+            chains, n_chains, n_kept, n_anchors = _extract_chains_fused(
                 i_hi[0],
                 i_lo[0],
                 i_seq[0],
@@ -119,18 +118,19 @@ class ShardedMinimizerAligner:
                 cfg.max_occ,
                 cfg.band_bits,
                 cap,
+                acap,
+                ccap,
+                cfg.min_cnt,
+                cfg.min_mlen,
             )
             return (
-                s_q[None, :],
-                s_s[None, :],
-                s_b[None, :],
-                s_p[None, :],
-                s_r[None, :],
-                n_valid[None],
+                chains[None, :, :],
+                n_chains[None],
                 n_kept[None],
+                n_anchors[None],
             )
 
-        self._collect_cache[cap] = collect
+        self._collect_cache[key] = collect
         return collect
 
     # ------------------------------------------------------------------
@@ -173,42 +173,45 @@ class ShardedMinimizerAligner:
 
     def _chains_for_batch(self, batch: np.ndarray):
         k = self.index.k
-        cfg = self.cfg
         repl = NamedSharding(self.mesh, P())
         B, L = batch.shape
         NW = L - k - self.index.w + 2
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
-        s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = self._get_collect(cap)(
-            self._idx_hi,
-            self._idx_lo,
-            self._idx_seq,
-            self._idx_pos,
-            self._idx_strand,
-            jax.device_put(batch, repl),
-        )
-        if int(np.asarray(n_kept).max()) > cap:
-            raise RuntimeError("minimizer compaction overflow")
-        s_q = np.asarray(s_q)
-        s_s = np.asarray(s_s)
-        s_b = np.asarray(s_b)
-        s_p = np.asarray(s_p)
-        s_r = np.asarray(s_r)
-        n_valid = np.asarray(n_valid)
+        acap = 2 * cap
+        ccap = max(1024, min(acap, 1 << 14))
+        batch_j = jax.device_put(batch, repl)
+        while True:
+            c_rows, n_chains, n_kept, n_anchors = self._get_collect(
+                cap, acap, ccap
+            )(
+                self._idx_hi,
+                self._idx_lo,
+                self._idx_seq,
+                self._idx_pos,
+                self._idx_strand,
+                batch_j,
+            )
+            if int(np.asarray(n_kept).max()) > cap:
+                raise RuntimeError("minimizer compaction overflow")
+            if int(np.asarray(n_anchors).max()) > acap:
+                acap *= 2
+                continue
+            if int(np.asarray(n_chains).max()) > ccap:
+                ccap *= 2
+                continue
+            break
+        c_rows = np.asarray(c_rows)
+        n_chains = np.asarray(n_chains)
 
         chains = []
-        for shard_i in range(s_q.shape[0]):
-            n = int(n_valid[shard_i])
+        for shard_i in range(c_rows.shape[0]):
+            n = int(n_chains[shard_i])
             if n == 0:
                 continue
             chains.extend(
-                chains_from_sorted_anchors(
-                    s_q[shard_i, :n].astype(np.int64),
-                    s_s[shard_i, :n].astype(np.int64),
-                    s_b[shard_i, :n].astype(np.int64),
-                    s_p[shard_i, :n].astype(np.int64),
-                    s_r[shard_i, :n].astype(np.int64),
+                _chains_from_rows(
+                    c_rows[shard_i, :n],
                     k,
-                    cfg,
                     seq_offset=int(self.seq_offsets[shard_i]),
                 )
             )

@@ -228,3 +228,47 @@ def test_map_chimeric_contig(ref_index):
     b, c = prim["chrB"], prim["chrC"]
     assert b.qend <= 9000 + 200 and c.qstart >= 8000 - 200
     assert b.blocklen > 7000 and c.blocklen > 7000
+
+
+# ---------------------------------------------------------------------
+# device chain segmentation vs host reduceat/band-merge equivalence
+
+
+def _build_panel_index(rng, n_refs=6, glen=9000, k=19, w=19):
+    from hymet_tpu.io.minimizer_index import MinimizerIndex
+
+    genomes = [(f"r{i}", _rand_seq(rng, glen)) for i in range(n_refs)]
+    return genomes, MinimizerIndex.build(genomes, k=k, w=w)
+
+
+def test_device_chains_match_host_chains(monkeypatch):
+    """The fused device segmentation (scatter-compacted anchors +
+    associative-scan chains) must emit the same PAF records as the legacy
+    host reduceat/band-merge path across mutation/revcomp/chimera/indel
+    query shapes."""
+    rng = np.random.default_rng(404)
+    genomes, index = _build_panel_index(rng)
+    gmap = dict(genomes)
+
+    queries = [
+        ("exact", gmap["r0"]),
+        ("mut5", _mutate(rng, gmap["r1"], 0.05)),
+        ("rc", _revcomp(gmap["r2"][:5000])),
+        ("chimera", gmap["r3"][:4000] + gmap["r4"][2000:6000]),
+        (
+            "indel",
+            gmap["r5"][:3000] + gmap["r5"][3300:7000],
+        ),
+        ("absent", _rand_seq(rng, 6000)),
+        ("short", gmap["r0"][100:700]),
+    ]
+    names = [q[0] for q in queries]
+    seqs = [q[1] for q in queries]
+
+    aln = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
+    monkeypatch.setenv("HYMET_HOST_CHAINS", "1")
+    host_recs = aln.map_batch(names, seqs)
+    monkeypatch.delenv("HYMET_HOST_CHAINS")
+    dev_recs = aln.map_batch(names, seqs)
+    assert host_recs, "panel produced no records — test setup broken"
+    assert dev_recs == host_recs
