@@ -86,7 +86,10 @@ def command_sketch(args) -> int:
         db = build_sketch_db_from_sequences(gen(), k=args.kmer, sketch_size=args.sketch_size)
     else:
         db = build_sketch_db(genomes, k=args.kmer, sketch_size=args.sketch_size)
-    db.save(args.out)
+    if args.out.endswith(".msh"):
+        db.to_msh(args.out)
+    else:
+        db.save(args.out)
     print(f"[hymet-tpu] sketched {db.n_refs} references -> {args.out}")
     return 0
 
@@ -329,7 +332,7 @@ def _run_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--sketch-db",
         action="append",
-        help="Sketch DB (.npz); repeat for sketch1/2/3-style multi-DB screening",
+        help="Sketch DB (.npz or Mash .msh); repeat for sketch1/2/3-style multi-DB screening",
     )
     p.add_argument("--genome-catalog", help="Local genome dir or refs.tsv (offline source)")
     p.add_argument("--seqid2taxid", help="accession->taxid table for local catalogs")

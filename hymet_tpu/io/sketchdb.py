@@ -91,6 +91,22 @@ class SketchDB:
     # ------------------------------------------------------------------
 
     @classmethod
+    def from_msh(cls, path: str) -> "SketchDB":
+        """Load a real Mash ``.msh`` (Cap'n Proto) sketch database — the
+        format of the reference's shipped ``data/sketch1-3.msh``
+        (``main.pl:44-46``, ``README.md:164-193``). See
+        :mod:`hymet_tpu.io.msh`."""
+        from hymet_tpu.io.msh import sketchdb_from_msh
+
+        return sketchdb_from_msh(path)
+
+    def to_msh(self, path: str) -> None:
+        """Export as a Mash-compatible ``.msh`` file."""
+        from hymet_tpu.io.msh import msh_from_sketchdb
+
+        msh_from_sketchdb(self, path)
+
+    @classmethod
     def concat(cls, dbs: Sequence["SketchDB"]) -> "SketchDB":
         """Row-concatenate DBs with the same k into one screening DB.
 
@@ -145,6 +161,14 @@ class SketchDB:
                 )
             )
         return out
+
+
+def load_sketch_db(path: str) -> "SketchDB":
+    """Load a sketch DB by extension: ``.msh`` (real Mash Cap'n Proto
+    files — the reference's shipped DB format) or our ``.npz`` layout."""
+    if path.endswith(".msh"):
+        return SketchDB.from_msh(path)
+    return SketchDB.load(path)
 
 
 def bottom_sketch_from_hashes(

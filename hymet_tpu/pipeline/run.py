@@ -29,7 +29,7 @@ from typing import List, Optional
 from hymet_tpu.io.fasta import read_fasta
 from hymet_tpu.io.minimizer_index import MinimizerIndex
 from hymet_tpu.io.paf import write_paf
-from hymet_tpu.io.sketchdb import SketchDB
+from hymet_tpu.io.sketchdb import SketchDB, load_sketch_db
 from hymet_tpu.models.aligner import AlignerConfig, MinimizerAligner
 from hymet_tpu.models.first_hit import (
     build_id_map,
@@ -123,7 +123,7 @@ class ClassificationRun:
             return selected
 
         def run():
-            dbs = [SketchDB.load(p) for p in cfg.sketch_dbs]
+            dbs = [load_sketch_db(p) for p in cfg.sketch_dbs]
             if not dbs:
                 raise RuntimeError("no sketch DBs configured (cfg.sketch_dbs)")
             labels = [
