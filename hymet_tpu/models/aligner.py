@@ -23,6 +23,7 @@ of cumulative indels — the asm10 regime (<=10% divergence assemblies).
 from __future__ import annotations
 
 import functools
+import logging
 import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
@@ -35,6 +36,8 @@ from hymet_tpu.io.fasta import encode_seq
 from hymet_tpu.io.minimizer_index import MinimizerIndex
 from hymet_tpu.io.paf import PafRecord
 from hymet_tpu.ops.minimizer import extract_minimizers_jax
+
+logger = logging.getLogger("hymet_tpu.aligner")
 
 _DIAG_OFF = 1 << 28  # supports |diagonal| < 268 Mbp (largest chromosomes)
 
@@ -222,7 +225,6 @@ def _collect_anchors_compact(
     left, occ = _search_occ(idx_hi, idx_lo, q_hi, q_lo)
     keep = q_valid & (occ > 0) & (occ <= max_occ)
     occk = jnp.where(keep, occ, 0)
-    base = jnp.cumsum(occk) - occk  # exclusive prefix sum
     n_anchors = jnp.sum(occk)
 
     N = q_hi.shape[0]
@@ -238,24 +240,22 @@ def _collect_anchors_compact(
     band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
     sb = (rel.astype(jnp.uint32) << 24) | band
 
-    rows = jnp.stack(
-        [
-            jnp.broadcast_to(qid[:, None].astype(jnp.uint32), (N, max_occ)),
-            seq.astype(jnp.uint32),
-            sb,
-            jnp.broadcast_to(qpos[:, None].astype(jnp.uint32), (N, max_occ)),
-            rpos.astype(jnp.uint32),
-        ],
-        axis=-1,
-    ).reshape(-1, 5)
-    tgt = jnp.where(valid, jnp.minimum(base[:, None] + j, acap), acap).reshape(-1)
-    dense = (
-        jnp.full((acap + 1, 5), 0xFFFFFFFF, dtype=jnp.uint32)
-        .at[tgt]
-        .set(rows, mode="drop")[:acap]
+    big = jnp.uint32(0xFFFFFFFF)
+    k_q = jnp.where(valid, qid[:, None].astype(jnp.uint32), big).reshape(-1)
+    k_s = jnp.where(valid, seq.astype(jnp.uint32), big).reshape(-1)
+    k_b = jnp.where(valid, sb, big).reshape(-1)
+    k_p = jnp.broadcast_to(qpos[:, None], (N, max_occ)).astype(jnp.uint32).reshape(-1)
+    v_r = rpos.astype(jnp.uint32).reshape(-1)
+    # compaction by stable 1-key sort (valid first) — cheap comparator vs
+    # the 4-key sort, and sorts are the proven fast primitive on TPU
+    # (scatter-compaction lowers poorly on the v5e) — then the full 4-key
+    # sort runs over only [acap] elements (~max_occ/avg_occ fewer).
+    nv = (~valid).reshape(-1).astype(jnp.uint32)
+    _, c_q, c_s, c_b, c_p, c_r = jax.lax.sort(
+        (nv, k_q, k_s, k_b, k_p, v_r), dimension=0, num_keys=1
     )
     s_q, s_s, s_b, s_p, s_r = jax.lax.sort(
-        (dense[:, 0], dense[:, 1], dense[:, 2], dense[:, 3], dense[:, 4]),
+        (c_q[:acap], c_s[:acap], c_b[:acap], c_p[:acap], c_r[:acap]),
         dimension=0,
         num_keys=4,
     )
@@ -312,16 +312,36 @@ def _chain_reduce_sorted(
     mlen = jnp.minimum(cnt * k, span_q)
     good = is_end & valid & (cnt >= min_cnt) & (mlen >= min_mlen)
     n_chains = jnp.sum(good.astype(jnp.int32))
-    out_pos = jnp.cumsum(good.astype(jnp.int32)) - 1
-    tgt = jnp.where(good, jnp.minimum(out_pos, ccap - 1), ccap)
-    rows = jnp.stack(
-        [s_q, s_s, rel, cnt.astype(jnp.uint32), minq, maxq, minr, maxr],
-        axis=-1,
+    # compact good chain-end rows by stable 1-key sort (good first keeps
+    # ascending anchor order — the host path's chain emission order)
+    not_good = (~good).astype(jnp.uint32)
+    _, o_q, o_s, o_rel, o_cnt, o_minq, o_maxq, o_minr, o_maxr = jax.lax.sort(
+        (
+            not_good,
+            s_q,
+            s_s,
+            rel,
+            cnt.astype(jnp.uint32),
+            minq,
+            maxq,
+            minr,
+            maxr,
+        ),
+        dimension=0,
+        num_keys=1,
     )
-    out = (
-        jnp.zeros((ccap + 1, 8), dtype=jnp.uint32)
-        .at[tgt]
-        .set(rows, mode="drop")[:ccap]
+    out = jnp.stack(
+        [
+            o_q[:ccap],
+            o_s[:ccap],
+            o_rel[:ccap],
+            o_cnt[:ccap],
+            o_minq[:ccap],
+            o_maxq[:ccap],
+            o_minr[:ccap],
+            o_maxr[:ccap],
+        ],
+        axis=-1,
     )
     return out, n_chains
 
@@ -591,9 +611,17 @@ class MinimizerAligner:
                     f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
                 )
             if int(n_anchors) > acap:
+                logger.info(
+                    "anchor overflow (%d > %d): doubling acap (recompile)",
+                    int(n_anchors), acap,
+                )
                 acap *= 2
                 continue
             if int(n_chains) > ccap:
+                logger.info(
+                    "chain overflow (%d > %d): doubling ccap (recompile)",
+                    int(n_chains), ccap,
+                )
                 ccap *= 2
                 continue
             break

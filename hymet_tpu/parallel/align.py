@@ -14,6 +14,7 @@ primary/secondary selection).
 from __future__ import annotations
 
 import functools
+import logging
 from typing import List, Optional, Sequence
 
 import jax
@@ -31,6 +32,10 @@ from hymet_tpu.models.aligner import (
     _extract_chains_fused,
     emit_paf,
 )
+from hymet_tpu.parallel.mesh import fetch_global
+
+
+logger = logging.getLogger("hymet_tpu.aligner")
 
 
 class ShardedMinimizerAligner:
@@ -191,17 +196,28 @@ class ShardedMinimizerAligner:
                 self._idx_strand,
                 batch_j,
             )
+            n_kept = fetch_global(n_kept)
+            n_anchors = fetch_global(n_anchors)
+            n_chains_h = fetch_global(n_chains)
             if int(np.asarray(n_kept).max()) > cap:
                 raise RuntimeError("minimizer compaction overflow")
             if int(np.asarray(n_anchors).max()) > acap:
+                logger.info(
+                    "anchor overflow (%d > %d): doubling acap (recompile)",
+                    int(np.asarray(n_anchors).max()), acap,
+                )
                 acap *= 2
                 continue
-            if int(np.asarray(n_chains).max()) > ccap:
+            if int(np.asarray(n_chains_h).max()) > ccap:
+                logger.info(
+                    "chain overflow (%d > %d): doubling ccap (recompile)",
+                    int(np.asarray(n_chains_h).max()), ccap,
+                )
                 ccap *= 2
                 continue
             break
-        c_rows = np.asarray(c_rows)
-        n_chains = np.asarray(n_chains)
+        c_rows = fetch_global(c_rows)
+        n_chains = np.asarray(n_chains_h)
 
         chains = []
         for shard_i in range(c_rows.shape[0]):

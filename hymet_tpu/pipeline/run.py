@@ -59,7 +59,17 @@ class ClassificationRun:
     # ------------------------------------------------------------------
 
     def execute(self) -> str:
-        """Run all stages; returns the path to classified_sequences.tsv."""
+        """Run all stages; returns the path to classified_sequences.tsv.
+
+        Multihost (``jax.distributed`` initialized, process_count > 1):
+        every process executes every stage — device stages participate in
+        the global-mesh collectives, host stages recompute identically —
+        but non-primary processes write to private scratch dirs so the
+        primary's ``outdir``/``cache_root`` stay race-free on shared
+        filesystems. Process 0's outputs are canonical (the reference's
+        single-writer emission, SURVEY §2.6 / §5 distributed rows)."""
+        cfg = self.cfg
+        self._setup_multihost()
         cfg = self.cfg
         if not cfg.input_fasta or not os.path.exists(cfg.input_fasta):
             raise FileNotFoundError(f"missing FASTA {cfg.input_fasta}")
@@ -78,7 +88,37 @@ class ClassificationRun:
         classified = self._stage_classify(paf_path, taxonomy_tsv)
         self._stage_export(classified)
         self._write_metadata()
+        self._sync("run-end")
         return classified
+
+    def _setup_multihost(self) -> None:
+        """Detect jax.distributed and redirect non-primary writes."""
+        self._multihost = False
+        try:
+            import jax
+
+            self._multihost = jax.process_count() > 1
+        except Exception:  # noqa: BLE001 — jax may be uninitialized
+            return
+        if not self._multihost or jax.process_index() == 0:
+            return
+        import dataclasses
+
+        pid = jax.process_index()
+        cfg = self.cfg
+        self.cfg = dataclasses.replace(
+            cfg,
+            outdir=f"{cfg.outdir}.proc{pid}",
+            cache_root=f"{cfg.cache_root}.proc{pid}",
+        )
+        self.workdir = os.path.join(self.cfg.outdir, "work")
+        logger.info("multihost: process %d writes to %s", pid, self.cfg.outdir)
+
+    def _sync(self, tag: str) -> None:
+        if getattr(self, "_multihost", False):
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"hymet_{tag}")
 
     # ------------------------------------------------------------------
 
