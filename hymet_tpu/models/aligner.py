@@ -5,13 +5,16 @@ downstream coverage-weighted LCA exactly like minimap2's output does
 (reference ``scripts/minimap2.sh:23`` -> ``classification_cami.py:196-206``).
 
 Pipeline split (TPU-first):
-  device — minimizer extraction ([B, L] batches), double binary search of
-    query minimizers into the sorted index (uint32 limb pairs), anchor
-    expansion to a static [N, max_occ] grid, 4-key lexicographic sort
-    (query, sequence, strand|band, qpos) — all statically shaped;
-  host — segment reduction over the sorted anchor runs (np.reduceat),
-    adjacent-diagonal-band merge (indel drift tolerance), primary /
-    secondary selection, PAF emission.
+  device — ONE fused program: minimizer extraction ([B, L] batches),
+    double binary search of query minimizers into the sorted index
+    (uint32 limb pairs), anchor compaction (stable 1-key sort, so the
+    4-key (query, sequence, strand|band, qpos) sort runs over ~avg_occ/
+    max_occ fewer elements than the [N, max_occ] grid), then chain
+    segmentation: segmented min/max via associative scan + counts via
+    cummax-of-start-indices, filter, and compaction to [ccap, 8] rows;
+  host — receives only final chain rows (~KB), then primary/secondary
+    selection and PAF emission. (The legacy host reduceat/band-merge
+    path is kept under HYMET_HOST_CHAINS=1 for A/B parity checks.)
 
 Chain geometry model: anchors of a colinear alignment share a diagonal
 (rpos - qpos, or rpos + qpos on opposite strands) up to indel drift;
