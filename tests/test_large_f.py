@@ -1,0 +1,105 @@
+"""Large-F screen validation: the reference screens ~45 GB of sketch DBs
+(reference ``bench/README.md:45``); this exercises the sharded flat-hash
+layout and the prefilter/binary-search count at F >= 2^24 distinct
+hashes (VERDICT round-1 missing item 3) on the virtual 8-device mesh,
+asserting exact counts against a direct numpy membership oracle.
+"""
+
+import numpy as np
+import pytest
+
+from hymet_tpu.io.sketchdb import SketchDB
+from hymet_tpu.ops.hashing import kmer_hashes_host
+from hymet_tpu.ops.sketch import ScreenEngine
+from hymet_tpu.parallel.mesh import make_mesh
+from hymet_tpu.parallel.screen import ShardedScreenEngine
+
+
+@pytest.fixture(scope="module")
+def big_db():
+    """R=4096 refs x s=4096 sketch hashes => F ~= 2^24 distinct."""
+    rng = np.random.default_rng(99)
+    R, s = 4096, 4096
+    hashes = rng.integers(0, 1 << 63, size=(R, s), dtype=np.uint64)
+    hashes = np.sort(hashes, axis=1)
+    return SketchDB(
+        k=21,
+        sketch_size=s,
+        hashes=hashes,
+        n_hashes=np.full(R, s, dtype=np.int32),
+        names=[f"r{i}" for i in range(R)],
+        lengths=np.full(R, 1_000_000, dtype=np.int64),
+        comments=[""] * R,
+    )
+
+
+def test_large_f_sharded_screen_exact(big_db):
+    flat, _ = big_db.flat_index()
+    assert flat.shape[0] >= 1 << 24  # the scale claim
+
+    # query: a real k-mer stream whose hashes we inject into 3 refs so
+    # shared counts are non-trivial, plus background misses
+    rng = np.random.default_rng(5)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    codes = rng.choice(acgt, size=8192).astype(np.uint8)
+    from hymet_tpu.io.fasta import encode_seq
+
+    enc = encode_seq(codes.tobytes())
+    qh = kmer_hashes_host(enc, big_db.k)
+    # implant 100 query hashes into refs 7, 2048, 4095
+    db = big_db
+    for ref, off in ((7, 0), (2048, 100), (4095, 150)):
+        db.hashes[ref, :100] = np.sort(qh[off : off + 100])
+        db.hashes[ref] = np.sort(db.hashes[ref])
+    db._flat = None  # rebuild flat index after implanting
+
+    mesh = make_mesh()  # 1 x 8 over the virtual CPU devices
+    eng = ShardedScreenEngine(mesh, db)
+    eng.update_codes(enc[None, :].copy())
+    res = eng.finalize()
+
+    # numpy oracle: shared = |sketch ∩ distinct query hashes|
+    qset = np.unique(qh)
+    for ref in (7, 2048, 4095, 0, 1234):
+        want = np.intersect1d(db.hashes[ref], qset).size
+        assert int(res.shared[ref]) == want, f"ref {ref}"
+
+    # single-device engine agrees bit-for-bit
+    import jax.numpy as jnp
+
+    solo = ScreenEngine(db)
+    solo.update_codes(jnp.asarray(enc[None, :]))
+    sres = solo.finalize()
+    np.testing.assert_array_equal(res.shared, sres.shared)
+    np.testing.assert_allclose(res.identity, sres.identity, rtol=1e-12)
+
+
+def test_large_f_prefilter_formulation_exact(big_db):
+    """Pin the prefilter formulation (the F > EQMM_MAX_F TPU default)
+    against binary search at this scale."""
+    import jax.numpy as jnp
+
+    from hymet_tpu.ops.sketch import _count_impl, split64
+
+    flat, _ = big_db.flat_index()
+    hi, lo = split64(flat)
+    rng = np.random.default_rng(1)
+    # half real DB hashes, half random misses
+    take = rng.integers(0, flat.size, 4096)
+    q = np.concatenate(
+        [flat[take], rng.integers(0, 1 << 63, 4096).astype(np.uint64)]
+    )
+    q_hi, q_lo = split64(q)
+    valid = np.ones(q.size, bool)
+    counts0 = jnp.zeros(flat.size, dtype=jnp.int32)
+    a = _count_impl(
+        jnp.asarray(hi), jnp.asarray(lo), counts0,
+        jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(valid),
+        use_prefilter=True,
+    )
+    b = _count_impl(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.zeros(flat.size, dtype=jnp.int32),
+        jnp.asarray(q_hi), jnp.asarray(q_lo), jnp.asarray(valid),
+        use_eqmm=False,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
