@@ -120,17 +120,52 @@ def _extract_collect_sort_fused(
     return out + (n_kept,)
 
 
-def _search_occ(idx_hi, idx_lo, q_hi, q_lo):
+def build_bucket_table(hi: np.ndarray, m: int):
+    """Top-bits bucket table over a sorted minimizer-hash array: for
+    bucket b (the hash's top `bits` bits), ``off[b]:off[b+1]`` bounds its
+    run, so the per-anchor binary search needs only ~log2(max bucket)
+    steps instead of log2(M) — each step is a full-stream gather, so this
+    cuts the aligner's dominant steady-state cost ~2.5-3x at real index
+    sizes. Returns (off [2^bits + 1] int32, bits, steps). `m` = number of
+    REAL entries (sharded arrays pad the tail with all-ones sentinels,
+    which must stay unreachable)."""
+    import math
+
+    m = int(m)
+    if m <= 0:
+        return np.zeros(2, dtype=np.int32), 1, 1
+    # aim for ~128-entry buckets; cap table at 2^20 (4 MB)
+    bits = min(20, max(1, int(math.ceil(math.log2(m))) - 7))
+    tops = (hi[:m].astype(np.uint64) >> np.uint64(32 - bits)).astype(np.int64)
+    off = np.searchsorted(tops, np.arange((1 << bits) + 1)).astype(np.int32)
+    max_bucket = int(np.diff(off).max())
+    steps = max(1, int(math.ceil(math.log2(max_bucket + 1))))
+    return off, bits, steps
+
+
+def _search_occ(idx_hi, idx_lo, q_hi, q_lo, bkt_off=None, bkt_bits=0, bkt_steps=0):
     """Double lower/upper-bound binary search of query minimizers in the
-    sorted index: returns (left, occ) per query minimizer."""
+    sorted index: returns (left, occ) per query minimizer. With a bucket
+    table (see :func:`build_bucket_table`), the search is confined to the
+    query hash's top-bits bucket."""
     import math
 
     M = idx_hi.shape[0]
-    steps = max(1, int(math.ceil(math.log2(M + 1))))  # M+1 insertion points
+    if bkt_off is not None:
+        steps = bkt_steps
+        top = (q_hi >> (32 - bkt_bits)).astype(jnp.int32)
+        lo0 = bkt_off[top]
+        hi0 = bkt_off[top + 1]
+    else:
+        steps = max(1, int(math.ceil(math.log2(M + 1))))  # M+1 insertion pts
+        lo0 = hi0 = None
 
     def search(le):
-        lo_b = jnp.zeros_like(q_hi, dtype=jnp.int32)
-        hi_b = jnp.full_like(lo_b, M)
+        if bkt_off is not None:
+            lo_b, hi_b = lo0, hi0
+        else:
+            lo_b = jnp.zeros_like(q_hi, dtype=jnp.int32)
+            hi_b = jnp.full_like(lo_b, M)
 
         def body(_, carry):
             lo, hi = carry
@@ -217,6 +252,9 @@ def _collect_anchors_compact(
     max_occ: int,
     band_bits: int,
     acap: int,
+    bkt_off=None,
+    bkt_bits: int = 0,
+    bkt_steps: int = 0,
 ):
     """Anchor collection with prefix-sum scatter compaction: anchors land
     densely in [acap] slots instead of the [N, max_occ] grid, so the 4-key
@@ -225,7 +263,9 @@ def _collect_anchors_compact(
     [acap] (0xFFFFFFFF sentinel rows past the end) + n_anchors (> acap
     means overflow: caller must retry with a larger acap)."""
     M = idx_hi.shape[0]
-    left, occ = _search_occ(idx_hi, idx_lo, q_hi, q_lo)
+    left, occ = _search_occ(
+        idx_hi, idx_lo, q_hi, q_lo, bkt_off, bkt_bits, bkt_steps
+    )
     keep = q_valid & (occ > 0) & (occ <= max_occ)
     occk = jnp.where(keep, occ, 0)
     n_anchors = jnp.sum(occk)
@@ -361,6 +401,8 @@ def _chain_reduce_sorted(
         "ccap",
         "min_cnt",
         "min_mlen",
+        "bkt_bits",
+        "bkt_steps",
     ),
 )
 def _extract_chains_fused(
@@ -379,6 +421,9 @@ def _extract_chains_fused(
     ccap: int,
     min_cnt: int,
     min_mlen: int,
+    bkt_off=None,
+    bkt_bits: int = 0,
+    bkt_steps: int = 0,
 ):
     """Whole aligner device path as ONE program: minimizer extraction ->
     compaction -> anchor search -> scatter-compacted 4-key sort ->
@@ -422,6 +467,9 @@ def _extract_chains_fused(
         max_occ,
         band_bits,
         acap,
+        bkt_off,
+        bkt_bits,
+        bkt_steps,
     )
     chains, n_chains = _chain_reduce_sorted(
         s_q, s_s, s_b, s_p, s_r, k, min_cnt, min_mlen, ccap
@@ -482,6 +530,10 @@ class MinimizerAligner:
         self._idx_seq = jnp.asarray(index.seq_id)
         self._idx_pos = jnp.asarray(index.pos)
         self._idx_strand = jnp.asarray(index.strand.astype(np.int32))
+        off, bits, steps = build_bucket_table(hi, hi.shape[0])
+        self._bkt_off = jnp.asarray(off)
+        self._bkt_bits = bits
+        self._bkt_steps = steps
 
     # ------------------------------------------------------------------
 
@@ -608,6 +660,9 @@ class MinimizerAligner:
                 ccap,
                 cfg.min_cnt,
                 cfg.min_mlen,
+                self._bkt_off,
+                self._bkt_bits,
+                self._bkt_steps,
             )
             if int(n_kept) > cap:  # pathological minimizer density
                 raise RuntimeError(

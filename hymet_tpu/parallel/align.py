@@ -30,6 +30,7 @@ from hymet_tpu.models.aligner import (
     AlignerConfig,
     _chains_from_rows,
     _extract_chains_fused,
+    build_bucket_table,
     emit_paf,
 )
 from hymet_tpu.parallel.mesh import fetch_global
@@ -62,6 +63,13 @@ class ShardedMinimizerAligner:
         idx_seq = np.zeros((n_db, M), dtype=np.int32)
         idx_pos = np.zeros((n_db, M), dtype=np.int32)
         idx_strand = np.zeros((n_db, M), dtype=np.int32)
+        # per-shard bucket tables share one bit width (max over shards'
+        # sizes) so the shard_map program is uniform; steps = worst shard
+        import math as _math
+
+        bits = min(20, max(1, int(_math.ceil(_math.log2(max(M, 2)))) - 7))
+        bkt_off = np.zeros((n_db, (1 << bits) + 1), dtype=np.int32)
+        steps = 1
         for i, sh in enumerate(self.shards):
             m = sh.n_minimizers
             idx_hi[i, :m] = (sh.hashes >> np.uint64(32)).astype(np.uint32)
@@ -69,8 +77,16 @@ class ShardedMinimizerAligner:
             idx_seq[i, :m] = sh.seq_id
             idx_pos[i, :m] = sh.pos
             idx_strand[i, :m] = sh.strand.astype(np.int32)
+            if m > 0:
+                tops = (sh.hashes.astype(np.uint64) >> np.uint64(64 - bits)).astype(np.int64)
+                bkt_off[i] = np.searchsorted(tops, np.arange((1 << bits) + 1)).astype(np.int32)
+                max_bucket = int(np.diff(bkt_off[i]).max())
+                steps = max(steps, int(_math.ceil(_math.log2(max_bucket + 1))) or 1)
+        self._bkt_bits = bits
+        self._bkt_steps = steps
 
         db_shard = NamedSharding(mesh, P("db", None))
+        self._bkt_off = jax.device_put(bkt_off, db_shard)
         self._idx_hi = jax.device_put(idx_hi, db_shard)
         self._idx_lo = jax.device_put(idx_lo, db_shard)
         self._idx_seq = jax.device_put(idx_seq, db_shard)
@@ -96,6 +112,7 @@ class ShardedMinimizerAligner:
                 P("db", None),
                 P("db", None),
                 P("db", None),
+                P("db", None),
                 P(),
             ),
             out_specs=(
@@ -106,7 +123,7 @@ class ShardedMinimizerAligner:
             ),
             check_vma=False,
         )
-        def collect(i_hi, i_lo, i_seq, i_pos, i_str, batch):
+        def collect(i_hi, i_lo, i_seq, i_pos, i_str, b_off, batch):
             # the fully-fused single-device path runs per shard against the
             # local index slice (extraction is recomputed per shard — cheap
             # relative to any host round trip); chains segment on device,
@@ -127,6 +144,9 @@ class ShardedMinimizerAligner:
                 ccap,
                 cfg.min_cnt,
                 cfg.min_mlen,
+                b_off[0],
+                self._bkt_bits,
+                self._bkt_steps,
             )
             return (
                 chains[None, :, :],
@@ -194,6 +214,7 @@ class ShardedMinimizerAligner:
                 self._idx_seq,
                 self._idx_pos,
                 self._idx_strand,
+                self._bkt_off,
                 batch_j,
             )
             n_kept = fetch_global(n_kept)
