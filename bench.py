@@ -66,6 +66,16 @@ def log(msg: str) -> None:
 
 
 def _init_jax():
+    import logging
+
+    # stage-level INFO logs to stderr: long tunnel compiles are otherwise
+    # indistinguishable from hangs
+    logging.basicConfig(
+        level=logging.INFO,
+        stream=sys.stderr,
+        format="%(asctime)s %(name)s %(message)s",
+        datefmt="%H:%M:%S",
+    )
     import jax
 
     from hymet_tpu.utils.jaxtools import apply_platform_override, enable_compile_cache
