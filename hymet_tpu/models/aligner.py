@@ -548,7 +548,9 @@ class MinimizerAligner:
         if self.index.n_minimizers == 0:
             return records
 
-        # group queries into equal-padded batches
+        # group queries into equal-padded batches; on large runs every
+        # group pads to 64 rows so each pad bucket compiles exactly once
+        fixed_rows = len(seqs) >= 64
         order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
         groups: List[List[int]] = []
         cur: List[int] = []
@@ -570,7 +572,11 @@ class MinimizerAligner:
             pad = -(-max(max(len(seqs[i]) for i in group), k + w) // cfg.batch_pad) * cfg.batch_pad
             # fixed row counts (powers of two) keep one compile per
             # (rows, pad) shape instead of one per exact group size
-            rows_pad = 1 << max(0, int(np.ceil(np.log2(max(len(group), 1)))))
+            rows_pad = (
+                64
+                if fixed_rows
+                else 1 << max(0, int(np.ceil(np.log2(max(len(group), 1)))))
+            )
             batch = np.full((rows_pad, pad), 4, dtype=np.uint8)
             for row, i in enumerate(group):
                 codes = encode_seq(seqs[i])
@@ -638,10 +644,12 @@ class MinimizerAligner:
                 cfg,
             )
 
-        # fused device path: anchors are scatter-compacted (typical occ is
-        # ~1-2, far below max_occ) and chains segment on device; retry with
-        # doubled caps on the rare overflow (each retry is one recompile)
-        acap = 2 * cap
+        # fused device path: anchors compact before the 4-key sort and
+        # chains segment on device; retry with doubled caps on overflow
+        # (each retry is one recompile — expensive on a TPU tunnel, so
+        # start with 4x headroom: multi-strain reference panels give each
+        # hitting minimizer several anchors)
+        acap = 4 * cap
         ccap = max(1024, min(acap, 1 << 14))
         while True:
             chains, n_chains, n_kept, n_anchors = _extract_chains_fused(

@@ -175,7 +175,8 @@ class ShardedMinimizerAligner:
         pad = -(-max(max((len(s) for s in seqs), default=1), k + w) // cfg.batch_pad) * cfg.batch_pad
         for base in range(0, len(seqs), 64):
             group = list(range(base, min(base + 64, len(seqs))))
-            batch = np.full((len(group), pad), 4, dtype=np.uint8)
+            rows = 64 if len(seqs) >= 64 else len(group)
+            batch = np.full((rows, pad), 4, dtype=np.uint8)
             for row, i in enumerate(group):
                 codes = encode_seq(seqs[i])
                 batch[row, : codes.shape[0]] = codes
@@ -202,7 +203,7 @@ class ShardedMinimizerAligner:
         B, L = batch.shape
         NW = L - k - self.index.w + 2
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
-        acap = 2 * cap
+        acap = 4 * cap
         ccap = max(1024, min(acap, 1 << 14))
         batch_j = jax.device_put(batch, repl)
         while True:
