@@ -151,9 +151,10 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("w",))
-def _window_min_pairs(h_hi, h_lo, idx, w: int):
-    """Sliding-window min over w positions of ((hi, lo), idx) triples,
-    lexicographic on (hi, lo) with leftmost-min tie-break (idx carried)."""
+def _window_min_pairs_unrolled(h_hi, h_lo, idx, w: int):
+    """Reference O(n*w) sliding-window min of ((hi, lo), idx) triples,
+    lexicographic on (hi, lo) with leftmost-min tie-break (idx carried).
+    Kept as the oracle for the van Herk path."""
     m_hi, m_lo, m_idx = h_hi, h_lo, idx
     for s in range(1, w):
         s_hi = h_hi[:, s:]
@@ -167,6 +168,74 @@ def _window_min_pairs(h_hi, h_lo, idx, w: int):
         m_lo = jnp.where(less, s_lo, c_lo)
         m_idx = jnp.where(less, s_idx, c_idx)
     return m_hi, m_lo, m_idx
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _window_min_pairs(h_hi, h_lo, idx, w: int):
+    """Sliding-window min of ((hi, lo), idx) triples via the van Herk /
+    Gil-Werman block prefix/suffix decomposition: ~2n compare passes
+    instead of the naive n*w (9.5x less VPU work at the asm10 w=19).
+    Leftmost-min tie-break: window [i, i+w) = combine(suffix-min of the
+    left block segment, prefix-min of the right segment), preferring the
+    left operand on ties (matches :func:`_window_min_pairs_unrolled`
+    bit-for-bit — see test_minimizer_window_vanherk_oracle)."""
+    if w == 1:
+        return h_hi, h_lo, idx
+    B, n = h_hi.shape
+    nw = n - w + 1
+    bad = jnp.uint32(_BAD)
+    pad = (-n) % w
+    if pad:
+        fill = jnp.full((B, pad), bad, dtype=jnp.uint32)
+        h_hi = jnp.concatenate([h_hi, fill], axis=1)
+        h_lo = jnp.concatenate([h_lo, fill], axis=1)
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((B, pad), dtype=idx.dtype)], axis=1
+        )
+    npad = n + pad
+    nb = npad // w
+    rh = h_hi.reshape(B, nb, w)
+    rl = h_lo.reshape(B, nb, w)
+    ri = idx.reshape(B, nb, w)
+
+    def less(a_hi, a_lo, b_hi, b_lo):
+        return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
+
+    # prefix mins within each block (left-to-right; keep earlier on ties)
+    ph, pl, pi = [rh[:, :, 0]], [rl[:, :, 0]], [ri[:, :, 0]]
+    for j in range(1, w):
+        c_h, c_l, c_i = rh[:, :, j], rl[:, :, j], ri[:, :, j]
+        take_cur = less(c_h, c_l, ph[-1], pl[-1])  # strict: ties keep left
+        ph.append(jnp.where(take_cur, c_h, ph[-1]))
+        pl.append(jnp.where(take_cur, c_l, pl[-1]))
+        pi.append(jnp.where(take_cur, c_i, pi[-1]))
+    P_h = jnp.stack(ph, axis=2).reshape(B, npad)
+    P_l = jnp.stack(pl, axis=2).reshape(B, npad)
+    P_i = jnp.stack(pi, axis=2).reshape(B, npad)
+
+    # suffix mins within each block (right-to-left; current element is the
+    # leftmost of the segment, so it wins ties)
+    sh, sl, si = [rh[:, :, w - 1]], [rl[:, :, w - 1]], [ri[:, :, w - 1]]
+    for j in range(w - 2, -1, -1):
+        c_h, c_l, c_i = rh[:, :, j], rl[:, :, j], ri[:, :, j]
+        keep_acc = less(sh[-1], sl[-1], c_h, c_l)  # strict: ties take cur
+        sh.append(jnp.where(keep_acc, sh[-1], c_h))
+        sl.append(jnp.where(keep_acc, sl[-1], c_l))
+        si.append(jnp.where(keep_acc, si[-1], c_i))
+    S_h = jnp.stack(sh[::-1], axis=2).reshape(B, npad)
+    S_l = jnp.stack(sl[::-1], axis=2).reshape(B, npad)
+    S_i = jnp.stack(si[::-1], axis=2).reshape(B, npad)
+
+    # window i = [i, i+w): suffix part covers the left segment, prefix
+    # part the right — prefer the suffix (left) side on ties
+    l_h, l_l, l_i = S_h[:, :nw], S_l[:, :nw], S_i[:, :nw]
+    r_h, r_l, r_i = P_h[:, w - 1 : w - 1 + nw], P_l[:, w - 1 : w - 1 + nw], P_i[:, w - 1 : w - 1 + nw]
+    take_r = less(r_h, r_l, l_h, l_l)
+    return (
+        jnp.where(take_r, r_h, l_h),
+        jnp.where(take_r, r_l, l_l),
+        jnp.where(take_r, r_i, l_i),
+    )
 
 
 def extract_minimizers_jax(

@@ -272,3 +272,38 @@ def test_device_chains_match_host_chains(monkeypatch):
     dev_recs = aln.map_batch(names, seqs)
     assert host_recs, "panel produced no records — test setup broken"
     assert dev_recs == host_recs
+
+
+def test_minimizer_window_vanherk_oracle():
+    """van Herk window-min must match the unrolled O(n*w) reference
+    bit-for-bit, including leftmost tie-breaks (forced by low-entropy
+    values) and _BAD-padded tails."""
+    import jax.numpy as jnp
+
+    from hymet_tpu.ops.minimizer import (
+        _window_min_pairs,
+        _window_min_pairs_unrolled,
+    )
+
+    rng = np.random.default_rng(12)
+    for w in (2, 5, 19, 23):
+        for n in (w, w + 1, 4 * w - 3, 257):
+            B = 3
+            # low-entropy: many exact ties across windows
+            hi = rng.integers(0, 4, size=(B, n)).astype(np.uint32)
+            lo = rng.integers(0, 3, size=(B, n)).astype(np.uint32)
+            # sprinkle BAD sentinels like invalid k-mers do
+            bad = rng.random((B, n)) < 0.1
+            hi[bad] = 0xFFFFFFFF
+            lo[bad] = 0xFFFFFFFF
+            idx = np.broadcast_to(np.arange(n, dtype=np.int32), (B, n)).copy()
+            got = _window_min_pairs(
+                jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(idx), w
+            )
+            want = _window_min_pairs_unrolled(
+                jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(idx), w
+            )
+            for g, x in zip(got, want):
+                np.testing.assert_array_equal(
+                    np.asarray(g), np.asarray(x), err_msg=f"w={w} n={n}"
+                )
