@@ -650,7 +650,7 @@ class MinimizerAligner:
         # start with 4x headroom: multi-strain reference panels give each
         # hitting minimizer several anchors)
         acap = 4 * cap
-        ccap = max(1024, min(acap, 1 << 14))
+        ccap = max(1024, min(acap, 1 << 15))
         while True:
             chains, n_chains, n_kept, n_anchors = _extract_chains_fused(
                 self._idx_hi,

@@ -204,7 +204,7 @@ class ShardedMinimizerAligner:
         NW = L - k - self.index.w + 2
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
         acap = 4 * cap
-        ccap = max(1024, min(acap, 1 << 14))
+        ccap = max(1024, min(acap, 1 << 15))
         batch_j = jax.device_put(batch, repl)
         while True:
             c_rows, n_chains, n_kept, n_anchors = self._get_collect(
