@@ -138,6 +138,7 @@ def command_bench(args) -> int:
         max_samples=args.max_samples,
         out_root=args.out,
         resume=args.resume,
+        jobs=args.jobs,
         threads=args.threads,
     )
 
@@ -381,6 +382,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out")
     p.add_argument("--no-build", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--jobs",
+        type=int,
+        default=1,
+        help="Parallel (sample, tool) cells (CPU-backend / baseline runs)",
+    )
     _common(p)
     p.set_defaults(func=command_bench)
 

@@ -53,7 +53,17 @@ def run_bench(
     out_root: Optional[str] = None,
     resume: bool = False,
     threads: int = 8,
+    jobs: int = 1,
 ) -> int:
+    """Manifest x tool benchmark loop.
+
+    ``jobs > 1`` runs (sample, tool) cells in parallel worker processes —
+    cross-sample parallelism the reference's sequential manifest loop
+    lacks (``bench/run_all_cami.sh:91-162``; SURVEY §2.6 last row). Use
+    it for CPU-backend runs and external baseline tools; keep jobs=1
+    when the in-process hymet_tpu tool targets the real TPU (one TPU
+    process at a time). Per-cell runtime logs merge deterministically.
+    """
     if not manifest or not os.path.exists(manifest):
         raise FileNotFoundError(f"manifest not found: {manifest}")
     rows = load_manifest(manifest)
@@ -65,25 +75,49 @@ def run_bench(
     if not resume and os.path.exists(runtime_log):
         os.remove(runtime_log)
 
+    cells = []
     for row in rows:
         if not row.contigs or not os.path.exists(row.contigs):
             logger.warning(
                 "sample %s: contigs missing (%s); skipping", row.sample_id, row.contigs
             )
             continue
-        for tool in tools:
-            tool_dir = os.path.join(out_root, row.sample_id, tool)
-            os.makedirs(tool_dir, exist_ok=True)
-            try:
-                with measured(runtime_log, row.sample_id, tool, "run"):
-                    ok = _run_tool(tool, row, tool_dir, threads)
-            except Exception as e:  # noqa: BLE001 — harness tolerates tool failures
-                logger.error("%s/%s run failed: %s", row.sample_id, tool, e)
-                continue
-            if not ok:
-                continue
-            with measured(runtime_log, row.sample_id, tool, "eval"):
-                _run_eval(row, tool_dir)
+        cells.extend((row, tool) for tool in tools)
+
+    if jobs <= 1:
+        for row, tool in cells:
+            _run_cell(row, tool, out_root, threads, runtime_log)
+    else:
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        # spawn (not fork): workers re-import jax cleanly
+        ctx = mp.get_context("spawn")
+        cell_logs = [
+            f"{runtime_log}.{row.sample_id}.{tool}" for row, tool in cells
+        ]
+        with cf.ProcessPoolExecutor(max_workers=jobs, mp_context=ctx) as ex:
+            futs = [
+                ex.submit(_run_cell, row, tool, out_root, threads, log)
+                for (row, tool), log in zip(cells, cell_logs)
+            ]
+            for f in futs:
+                f.result()  # surface worker crashes
+        # deterministic merge in cell order (one header only)
+        have_header = (
+            os.path.exists(runtime_log) and os.path.getsize(runtime_log) > 0
+        )
+        with open(runtime_log, "a") as out:
+            for log in cell_logs:
+                if not os.path.exists(log):
+                    continue
+                with open(log) as f:
+                    lines = f.readlines()
+                if lines and lines[0].startswith("sample\t") and have_header:
+                    lines = lines[1:]
+                out.writelines(lines)
+                have_header = True
+                os.remove(log)
 
     aggregate(out_root)
     try:
@@ -93,6 +127,31 @@ def run_bench(
     except Exception as e:  # noqa: BLE001 — plotting is best-effort
         logger.warning("figure generation skipped: %s", e)
     return 0
+
+
+def _run_cell(
+    row: ManifestRow, tool: str, out_root: str, threads: int, runtime_log: str
+) -> None:
+    """One measured (sample, tool) run + eval cell (parallel-safe: all
+    writes go under the cell's own tool_dir + its runtime log)."""
+    from hymet_tpu.utils.jaxtools import apply_platform_override
+
+    # spawned workers don't inherit the parent's jax.config — honor
+    # HYMET_PLATFORM before anything imports jax (set it to cpu for
+    # parallel cells so workers never contend for the one TPU)
+    apply_platform_override()
+    tool_dir = os.path.join(out_root, row.sample_id, tool)
+    os.makedirs(tool_dir, exist_ok=True)
+    try:
+        with measured(runtime_log, row.sample_id, tool, "run"):
+            ok = _run_tool(tool, row, tool_dir, threads)
+    except Exception as e:  # noqa: BLE001 — harness tolerates tool failures
+        logger.error("%s/%s run failed: %s", row.sample_id, tool, e)
+        return
+    if not ok:
+        return
+    with measured(runtime_log, row.sample_id, tool, "eval"):
+        _run_eval(row, tool_dir)
 
 
 def _run_tool(tool: str, row: ManifestRow, tool_dir: str, threads: int) -> bool:

@@ -145,3 +145,53 @@ def test_run_ablation_end_to_end(bench_env, tmp_path, monkeypatch):
     assert float(lvl0["species_pct"]) > 90.0
     assert float(lvl1["total"]) == 0 or float(lvl1["species_pct"]) == 0.0
     assert os.path.exists(os.path.join(out_root, "refsets", "ablation_summary.tsv"))
+
+
+def test_run_bench_parallel_jobs(bench_env, tmp_path, monkeypatch):
+    """jobs=2 (spawned worker processes) must produce the same outputs
+    and a complete merged runtime log (SURVEY §2.6 cross-sample
+    parallelism — the reference's manifest loop is sequential)."""
+    world = bench_env
+    truth_contigs, truth_profile = _truth_files(world, tmp_path)
+    monkeypatch.setenv("HYMET_PLATFORM", "cpu")  # workers must avoid TPU
+
+    # two samples (same contigs) x one tool -> two parallel cells
+    manifest = tmp_path / "manifest2.tsv"
+    manifest.write_text(
+        "sample_id\tcontigs_fa\ttruth_contigs_tsv\ttruth_profile_tsv\n"
+        f"s_one\t{world['query']}\t{truth_contigs}\t{truth_profile}\n"
+        f"s_two\t{world['query']}\t{truth_contigs}\t{truth_profile}\n"
+    )
+
+    from hymet_tpu.harness.bench import run_bench
+
+    out_root = str(tmp_path / "bench_par")
+    assert run_bench(str(manifest), ["hymet_tpu"], out_root=out_root, jobs=2) == 0
+
+    outs = {}
+    for sample in ("s_one", "s_two"):
+        tool_dir = os.path.join(out_root, sample, tool := "hymet_tpu")
+        assert os.path.exists(os.path.join(tool_dir, "profile.cami.tsv"))
+        outs[sample] = open(
+            os.path.join(tool_dir, "classified_sequences.tsv")
+        ).read()
+    assert outs["s_one"] == outs["s_two"]  # same input -> same output
+
+    rt = list(
+        csv.DictReader(
+            open(os.path.join(out_root, "runtime_memory.tsv")), delimiter="\t"
+        )
+    )
+    # 2 cells x 2 stages, merged in deterministic cell order
+    assert [(r["sample"], r["stage"]) for r in rt] == [
+        ("s_one", "run"),
+        ("s_one", "eval"),
+        ("s_two", "run"),
+        ("s_two", "eval"),
+    ]
+    # no stray per-cell logs left behind
+    assert not [
+        f
+        for f in os.listdir(out_root)
+        if f.startswith("runtime_memory.tsv.")
+    ]
