@@ -305,6 +305,7 @@ class ClassificationRun:
         )
 
         def run():
+            t0 = time.time()
             index = None
             if os.path.exists(idx_path) and not cfg.force_download:
                 index = MinimizerIndex.load(idx_path)
@@ -318,6 +319,8 @@ class ClassificationRun:
                     combined, k=cfg.align_k, w=cfg.align_w
                 )
                 index.save(idx_path)
+            t_load = time.time() - t0
+            t0 = time.time()
             mesh = self._mesh()
             if mesh is not None:
                 from hymet_tpu.parallel.align import ShardedMinimizerAligner
@@ -329,8 +332,19 @@ class ClassificationRun:
                 aligner = MinimizerAligner(
                     index, AlignerConfig(batch_pad=cfg.align_batch_pad)
                 )
+            t_stage = time.time() - t0
+            t0 = time.time()
             qnames, qseqs = read_fasta(cfg.input_fasta)
             records = aligner.map_batch(qnames, qseqs)
+            t_map = time.time() - t0
+            logger.info(
+                "[align sub] index_load=%.2fs device_stage=%.2fs "
+                "(%.0f MB index) map=%.2fs",
+                t_load,
+                t_stage,
+                index.n_minimizers * 20 / 1e6,
+                t_map,
+            )
             write_paf(paf_path, records)
             return len(records)
 
