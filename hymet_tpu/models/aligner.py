@@ -5,13 +5,14 @@ downstream coverage-weighted LCA exactly like minimap2's output does
 (reference ``scripts/minimap2.sh:23`` -> ``classification_cami.py:196-206``).
 
 Pipeline split (TPU-first):
-  device — ONE fused program: minimizer extraction ([B, L] batches),
-    double binary search of query minimizers into the sorted index
-    (uint32 limb pairs), anchor compaction (stable 1-key sort, so the
-    4-key (query, sequence, strand|band, qpos) sort runs over ~avg_occ/
-    max_occ fewer elements than the [N, max_occ] grid), then chain
-    segmentation: segmented min/max via associative scan + counts via
-    cummax-of-start-indices, filter, and compaction to [ccap, 8] rows;
+  device — ONE fused program: minimizer extraction ([B, L] batches,
+    van Herk O(n) window min), bucketed double binary search into the
+    sorted index (uint32 limb pairs), two-tier anchor expansion (first
+    4 occurrences densely, rare high-occ minimizers via a compacted
+    second grid — ~3x less 4-key-sort input than the [N, max_occ]
+    grid), the 4-key (query, sequence, strand|band, qpos) sort, then
+    chain segmentation: segmented min/max via associative scan, counts
+    via cummax-of-start-indices, filter, compaction to [ccap, 8] rows;
   host — receives only final chain rows (~KB), then primary/secondary
     selection and PAF emission. (The legacy host reduceat/band-merge
     path is kept under HYMET_HOST_CHAINS=1 for A/B parity checks.)
@@ -43,6 +44,7 @@ from hymet_tpu.ops.minimizer import extract_minimizers_jax
 logger = logging.getLogger("hymet_tpu.aligner")
 
 _DIAG_OFF = 1 << 28  # supports |diagonal| < 268 Mbp (largest chromosomes)
+_TIER1 = 4  # tier-1 grid width of the two-tier anchor expansion
 
 
 @dataclass
@@ -237,7 +239,7 @@ def _collect_and_sort_anchors(
     return s_q, s_s, s_b, s_p, s_r, n_valid
 
 
-def _collect_anchors_compact(
+def _collect_anchors_tiered(
     idx_hi,
     idx_lo,
     idx_seq,
@@ -251,17 +253,23 @@ def _collect_anchors_compact(
     q_valid,
     max_occ: int,
     band_bits: int,
-    acap: int,
+    tier1: int,
+    cap2: int,
     bkt_off=None,
     bkt_bits: int = 0,
     bkt_steps: int = 0,
 ):
-    """Anchor collection with prefix-sum scatter compaction: anchors land
-    densely in [acap] slots instead of the [N, max_occ] grid, so the 4-key
-    sort runs over ~max_occ/avg_occ times fewer elements (the grid sort was
-    the aligner's dominant device cost). Returns sorted anchor columns
-    [acap] (0xFFFFFFFF sentinel rows past the end) + n_anchors (> acap
-    means overflow: caller must retry with a larger acap)."""
+    """Two-tier anchor expansion: the [N, max_occ] grid is ~90% padding
+    (typical occurrence is 1-3), and sorting that padding dominated the
+    align stage. Tier 1 expands every hit to its first `tier1` (=4)
+    occurrences in an [N, tier1] grid; the rare minimizers with
+    occ > tier1 compact (cheap 1-key sort over [N]) into a [cap2] pool
+    whose remaining occurrences expand in a second small grid. The
+    combined grid (~N*tier1 + cap2*(max_occ-tier1), ~3x smaller than
+    N*max_occ) feeds the 4-key (query, seq, strand|band, qpos) sort
+    directly. Returns sorted anchor columns + (n_anchors, n_over);
+    n_over > cap2 means tier-2 overflow: caller must retry with cap2
+    doubled."""
     M = idx_hi.shape[0]
     left, occ = _search_occ(
         idx_hi, idx_lo, q_hi, q_lo, bkt_off, bkt_bits, bkt_steps
@@ -269,40 +277,72 @@ def _collect_anchors_compact(
     keep = q_valid & (occ > 0) & (occ <= max_occ)
     occk = jnp.where(keep, occ, 0)
     n_anchors = jnp.sum(occk)
-
-    N = q_hi.shape[0]
-    j = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
-    a_idx = jnp.clip(left[:, None] + j, 0, max(M - 1, 0))
-    valid = keep[:, None] & (j < occ[:, None])
-
-    seq = idx_seq[a_idx]
-    rpos = idx_pos[a_idx]
-    rstrand = idx_strand[a_idx].astype(jnp.int32)
-    rel = (qstrand[:, None] ^ rstrand) & 1
-    diag = jnp.where(rel == 0, rpos - qpos[:, None], rpos + qpos[:, None])
-    band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
-    sb = (rel.astype(jnp.uint32) << 24) | band
-
     big = jnp.uint32(0xFFFFFFFF)
-    k_q = jnp.where(valid, qid[:, None].astype(jnp.uint32), big).reshape(-1)
-    k_s = jnp.where(valid, seq.astype(jnp.uint32), big).reshape(-1)
-    k_b = jnp.where(valid, sb, big).reshape(-1)
-    k_p = jnp.broadcast_to(qpos[:, None], (N, max_occ)).astype(jnp.uint32).reshape(-1)
-    v_r = rpos.astype(jnp.uint32).reshape(-1)
-    # compaction by stable 1-key sort (valid first) — cheap comparator vs
-    # the 4-key sort, and sorts are the proven fast primitive on TPU
-    # (scatter-compaction lowers poorly on the v5e) — then the full 4-key
-    # sort runs over only [acap] elements (~max_occ/avg_occ fewer).
-    nv = (~valid).reshape(-1).astype(jnp.uint32)
-    _, c_q, c_s, c_b, c_p, c_r = jax.lax.sort(
-        (nv, k_q, k_s, k_b, k_p, v_r), dimension=0, num_keys=1
-    )
-    s_q, s_s, s_b, s_p, s_r = jax.lax.sort(
-        (c_q[:acap], c_s[:acap], c_b[:acap], c_p[:acap], c_r[:acap]),
-        dimension=0,
-        num_keys=4,
-    )
-    return s_q, s_s, s_b, s_p, s_r, n_anchors
+    T = min(tier1, max_occ)
+
+    def cols(left_a, occ_a, qpos_a, qstrand_a, qid_a, keep_a, j0, width):
+        j = j0 + jnp.arange(width, dtype=jnp.int32)[None, :]
+        a_idx = jnp.clip(left_a[:, None] + j, 0, max(M - 1, 0))
+        valid = keep_a[:, None] & (j < occ_a[:, None])
+        seq = idx_seq[a_idx]
+        rpos = idx_pos[a_idx]
+        rstrand = idx_strand[a_idx].astype(jnp.int32)
+        rel = (qstrand_a[:, None] ^ rstrand) & 1
+        diag = jnp.where(
+            rel == 0, rpos - qpos_a[:, None], rpos + qpos_a[:, None]
+        )
+        band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
+        sb = (rel.astype(jnp.uint32) << 24) | band
+        n_rows = left_a.shape[0]
+        k_q = jnp.where(valid, qid_a[:, None].astype(jnp.uint32), big).reshape(-1)
+        k_s = jnp.where(valid, seq.astype(jnp.uint32), big).reshape(-1)
+        k_b = jnp.where(valid, sb, big).reshape(-1)
+        k_p = (
+            jnp.broadcast_to(qpos_a[:, None], (n_rows, width))
+            .astype(jnp.uint32)
+            .reshape(-1)
+        )
+        v_r = rpos.astype(jnp.uint32).reshape(-1)
+        return k_q, k_s, k_b, k_p, v_r
+
+    c1 = cols(left, occ, qpos, qstrand, qid, keep, 0, T)
+
+    if T < max_occ:
+        over = keep & (occ > T)
+        n_over = jnp.sum(over.astype(jnp.int32))
+        not_over = (~over).astype(jnp.uint32)
+        _, o_left, o_occ, o_qpos, o_strand, o_qid = jax.lax.sort(
+            (
+                not_over,
+                left.astype(jnp.uint32),
+                occ.astype(jnp.uint32),
+                qpos.astype(jnp.uint32),
+                qstrand.astype(jnp.uint32),
+                qid.astype(jnp.uint32),
+            ),
+            dimension=0,
+            num_keys=1,
+        )
+        keep2 = jnp.arange(cap2, dtype=jnp.int32) < jnp.minimum(n_over, cap2)
+        c2 = cols(
+            o_left[:cap2].astype(jnp.int32),
+            o_occ[:cap2].astype(jnp.int32),
+            o_qpos[:cap2].astype(jnp.int32),
+            o_strand[:cap2].astype(jnp.int32),
+            o_qid[:cap2].astype(jnp.int32),
+            keep2,
+            T,
+            max_occ - T,
+        )
+        arrays = tuple(
+            jnp.concatenate([a, b]) for a, b in zip(c1, c2)
+        )
+    else:
+        n_over = jnp.int32(0)
+        arrays = c1
+
+    s_q, s_s, s_b, s_p, s_r = jax.lax.sort(arrays, dimension=0, num_keys=4)
+    return s_q, s_s, s_b, s_p, s_r, n_anchors, n_over
 
 
 def _chain_reduce_sorted(
@@ -397,7 +437,8 @@ def _chain_reduce_sorted(
         "max_occ",
         "band_bits",
         "cap",
-        "acap",
+        "tier1",
+        "cap2",
         "ccap",
         "min_cnt",
         "min_mlen",
@@ -417,7 +458,8 @@ def _extract_chains_fused(
     max_occ: int,
     band_bits: int,
     cap: int,
-    acap: int,
+    tier1: int,
+    cap2: int,
     ccap: int,
     min_cnt: int,
     min_mlen: int,
@@ -426,11 +468,12 @@ def _extract_chains_fused(
     bkt_steps: int = 0,
 ):
     """Whole aligner device path as ONE program: minimizer extraction ->
-    compaction -> anchor search -> scatter-compacted 4-key sort ->
+    compaction -> bucketed anchor search -> two-tier grid + 4-key sort ->
     on-device chain segmentation + filtering. The host receives only the
     final [ccap, 8] chain rows (~KB) instead of per-anchor arrays (~MB).
-    Returns (chains, n_chains, n_kept, n_anchors); any count above its
-    cap means the caller must retry with that cap doubled."""
+    Returns (chains, n_chains, n_kept, n_over); a count above its cap
+    (n_kept > cap, n_over > cap2, n_chains > ccap) means the caller must
+    retry with that cap doubled."""
     m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(batch, k, w)
     B, NW = m_hi.shape
     qid = jnp.broadcast_to(
@@ -452,7 +495,7 @@ def _extract_chains_fused(
     n_kept = jnp.sum(m_keep.astype(jnp.int32))
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     valid = iota < n_kept
-    s_q, s_s, s_b, s_p, s_r, n_anchors = _collect_anchors_compact(
+    s_q, s_s, s_b, s_p, s_r, n_anchors, n_over = _collect_anchors_tiered(
         idx_hi,
         idx_lo,
         idx_seq,
@@ -466,7 +509,8 @@ def _extract_chains_fused(
         valid,
         max_occ,
         band_bits,
-        acap,
+        tier1,
+        cap2,
         bkt_off,
         bkt_bits,
         bkt_steps,
@@ -474,7 +518,7 @@ def _extract_chains_fused(
     chains, n_chains = _chain_reduce_sorted(
         s_q, s_s, s_b, s_p, s_r, k, min_cnt, min_mlen, ccap
     )
-    return chains, n_chains, n_kept, n_anchors
+    return chains, n_chains, n_kept, n_over
 
 
 def _chains_from_rows(
@@ -644,15 +688,13 @@ class MinimizerAligner:
                 cfg,
             )
 
-        # fused device path: anchors compact before the 4-key sort and
-        # chains segment on device; retry with doubled caps on overflow
-        # (each retry is one recompile — expensive on a TPU tunnel, so
-        # start with 4x headroom: multi-strain reference panels give each
-        # hitting minimizer several anchors)
-        acap = 4 * cap
-        ccap = max(1024, min(acap, 1 << 15))
+        # fused device path: two-tier anchor grid, chains segment on
+        # device; retry with doubled caps on overflow (each retry is one
+        # recompile — expensive on a TPU tunnel, so caps carry headroom)
+        cap2 = max(1024, cap // 4)
+        ccap = max(1024, min(4 * cap, 1 << 15))
         while True:
-            chains, n_chains, n_kept, n_anchors = _extract_chains_fused(
+            chains, n_chains, n_kept, n_over = _extract_chains_fused(
                 self._idx_hi,
                 self._idx_lo,
                 self._idx_seq,
@@ -664,7 +706,8 @@ class MinimizerAligner:
                 cfg.max_occ,
                 cfg.band_bits,
                 cap,
-                acap,
+                _TIER1,
+                cap2,
                 ccap,
                 cfg.min_cnt,
                 cfg.min_mlen,
@@ -676,12 +719,12 @@ class MinimizerAligner:
                 raise RuntimeError(
                     f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
                 )
-            if int(n_anchors) > acap:
+            if int(n_over) > cap2:
                 logger.info(
-                    "anchor overflow (%d > %d): doubling acap (recompile)",
-                    int(n_anchors), acap,
+                    "tier-2 overflow (%d > %d): doubling cap2 (recompile)",
+                    int(n_over), cap2,
                 )
-                acap *= 2
+                cap2 *= 2
                 continue
             if int(n_chains) > ccap:
                 logger.info(

@@ -27,6 +27,7 @@ from hymet_tpu.io.fasta import encode_seq
 from hymet_tpu.io.minimizer_index import MinimizerIndex
 from hymet_tpu.io.paf import PafRecord
 from hymet_tpu.models.aligner import (
+    _TIER1,
     AlignerConfig,
     _chains_from_rows,
     _extract_chains_fused,
@@ -94,8 +95,8 @@ class ShardedMinimizerAligner:
         self._idx_strand = jax.device_put(idx_strand, db_shard)
         self._collect_cache = {}
 
-    def _get_collect(self, cap: int, acap: int, ccap: int):
-        key = (cap, acap, ccap)
+    def _get_collect(self, cap: int, cap2: int, ccap: int):
+        key = (cap, cap2, ccap)
         if key in self._collect_cache:
             return self._collect_cache[key]
         mesh = self.mesh
@@ -128,7 +129,7 @@ class ShardedMinimizerAligner:
             # local index slice (extraction is recomputed per shard — cheap
             # relative to any host round trip); chains segment on device,
             # so only [ccap, 8] chain rows per shard reach the host
-            chains, n_chains, n_kept, n_anchors = _extract_chains_fused(
+            chains, n_chains, n_kept, n_over = _extract_chains_fused(
                 i_hi[0],
                 i_lo[0],
                 i_seq[0],
@@ -140,7 +141,8 @@ class ShardedMinimizerAligner:
                 cfg.max_occ,
                 cfg.band_bits,
                 cap,
-                acap,
+                _TIER1,
+                cap2,
                 ccap,
                 cfg.min_cnt,
                 cfg.min_mlen,
@@ -152,7 +154,7 @@ class ShardedMinimizerAligner:
                 chains[None, :, :],
                 n_chains[None],
                 n_kept[None],
-                n_anchors[None],
+                n_over[None],
             )
 
         self._collect_cache[key] = collect
@@ -203,12 +205,12 @@ class ShardedMinimizerAligner:
         B, L = batch.shape
         NW = L - k - self.index.w + 2
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
-        acap = 4 * cap
-        ccap = max(1024, min(acap, 1 << 15))
+        cap2 = max(1024, cap // 4)
+        ccap = max(1024, min(4 * cap, 1 << 15))
         batch_j = jax.device_put(batch, repl)
         while True:
-            c_rows, n_chains, n_kept, n_anchors = self._get_collect(
-                cap, acap, ccap
+            c_rows, n_chains, n_kept, n_over = self._get_collect(
+                cap, cap2, ccap
             )(
                 self._idx_hi,
                 self._idx_lo,
@@ -219,16 +221,16 @@ class ShardedMinimizerAligner:
                 batch_j,
             )
             n_kept = fetch_global(n_kept)
-            n_anchors = fetch_global(n_anchors)
+            n_over = fetch_global(n_over)
             n_chains_h = fetch_global(n_chains)
             if int(np.asarray(n_kept).max()) > cap:
                 raise RuntimeError("minimizer compaction overflow")
-            if int(np.asarray(n_anchors).max()) > acap:
+            if int(np.asarray(n_over).max()) > cap2:
                 logger.info(
-                    "anchor overflow (%d > %d): doubling acap (recompile)",
-                    int(np.asarray(n_anchors).max()), acap,
+                    "tier-2 overflow (%d > %d): doubling cap2 (recompile)",
+                    int(np.asarray(n_over).max()), cap2,
                 )
-                acap *= 2
+                cap2 *= 2
                 continue
             if int(np.asarray(n_chains_h).max()) > ccap:
                 logger.info(
