@@ -354,7 +354,7 @@ def bench_sketch() -> dict:
     batch0 = jnp.asarray(make_batch(1))
     t0 = time.time()
     eng.update_codes(batch0)
-    eng.counts.block_until_ready()
+    np.asarray(eng.counts[:1])
     # compile the scoring path up front too: compiling new programs after
     # streams of donated-buffer updates can deadlock the dev tunnel
     eng.finalize()
@@ -373,7 +373,9 @@ def bench_sketch() -> dict:
         t0 = time.time()
         for b in batches:
             eng.update_codes(b)
-        eng.counts.block_until_ready()
+        # 4-byte readback: forces execution (block_until_ready on a
+        # donation-aliased buffer can return before the work runs)
+        np.asarray(eng.counts[:1])
         group_times.append(time.time() - t0)
     best = min(group_times)
     bp_group = len(batches) * BATCH_ROWS * BATCH_LEN
@@ -519,7 +521,7 @@ def bench_sketch_large() -> dict:
     )
     t0 = time.time()
     eng.update_codes(batch0)
-    eng.counts.block_until_ready()
+    np.asarray(eng.counts[:1])
     log(f"warmup (compile) {time.time() - t0:.1f}s")
 
     _stage = jax.jit(lambda x: x + jnp.uint8(0))
@@ -540,7 +542,9 @@ def bench_sketch_large() -> dict:
         t0 = time.time()
         for b in batches:
             eng.update_codes(b)
-        eng.counts.block_until_ready()
+        # 4-byte readback: forces execution (block_until_ready on a
+        # donation-aliased buffer can return before the work runs)
+        np.asarray(eng.counts[:1])
         group_times.append(time.time() - t0)
     best = min(group_times)
     bp_group = len(batches) * BATCH_ROWS * BATCH_LEN
