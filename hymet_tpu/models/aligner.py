@@ -44,7 +44,11 @@ from hymet_tpu.ops.minimizer import extract_minimizers_jax
 logger = logging.getLogger("hymet_tpu.aligner")
 
 _DIAG_OFF = 1 << 28  # supports |diagonal| < 268 Mbp (largest chromosomes)
-_TIER1 = 4  # tier-1 grid width of the two-tier anchor expansion
+# Two-tier anchor expansion cuts the 4-key-sort input ~3x, but its
+# program has stalled the dev tunnel's XLA compile service (>40 min where
+# the single-tier program takes 8-22 min); default off until profiled on
+# a healthy window. HYMET_TIERED_ANCHORS=1 enables it.
+_TIER1 = 4 if os.environ.get("HYMET_TIERED_ANCHORS") == "1" else 0
 
 
 @dataclass
@@ -237,6 +241,74 @@ def _collect_and_sort_anchors(
     )
     n_valid = jnp.sum(valid.astype(jnp.int32))
     return s_q, s_s, s_b, s_p, s_r, n_valid
+
+
+def _collect_anchors_compact(
+    idx_hi,
+    idx_lo,
+    idx_seq,
+    idx_pos,
+    idx_strand,
+    q_hi,  # [N] flat compacted query minimizers
+    q_lo,
+    qpos,
+    qstrand,
+    qid,
+    q_valid,
+    max_occ: int,
+    band_bits: int,
+    acap: int,
+    bkt_off=None,
+    bkt_bits: int = 0,
+    bkt_steps: int = 0,
+):
+    """Anchor collection with prefix-sum scatter compaction: anchors land
+    densely in [acap] slots instead of the [N, max_occ] grid, so the 4-key
+    sort runs over ~max_occ/avg_occ times fewer elements (the grid sort was
+    the aligner's dominant device cost). Returns sorted anchor columns
+    [acap] (0xFFFFFFFF sentinel rows past the end) + n_anchors (> acap
+    means overflow: caller must retry with a larger acap)."""
+    M = idx_hi.shape[0]
+    left, occ = _search_occ(
+        idx_hi, idx_lo, q_hi, q_lo, bkt_off, bkt_bits, bkt_steps
+    )
+    keep = q_valid & (occ > 0) & (occ <= max_occ)
+    occk = jnp.where(keep, occ, 0)
+    n_anchors = jnp.sum(occk)
+
+    N = q_hi.shape[0]
+    j = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
+    a_idx = jnp.clip(left[:, None] + j, 0, max(M - 1, 0))
+    valid = keep[:, None] & (j < occ[:, None])
+
+    seq = idx_seq[a_idx]
+    rpos = idx_pos[a_idx]
+    rstrand = idx_strand[a_idx].astype(jnp.int32)
+    rel = (qstrand[:, None] ^ rstrand) & 1
+    diag = jnp.where(rel == 0, rpos - qpos[:, None], rpos + qpos[:, None])
+    band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
+    sb = (rel.astype(jnp.uint32) << 24) | band
+
+    big = jnp.uint32(0xFFFFFFFF)
+    k_q = jnp.where(valid, qid[:, None].astype(jnp.uint32), big).reshape(-1)
+    k_s = jnp.where(valid, seq.astype(jnp.uint32), big).reshape(-1)
+    k_b = jnp.where(valid, sb, big).reshape(-1)
+    k_p = jnp.broadcast_to(qpos[:, None], (N, max_occ)).astype(jnp.uint32).reshape(-1)
+    v_r = rpos.astype(jnp.uint32).reshape(-1)
+    # compaction by stable 1-key sort (valid first) — cheap comparator vs
+    # the 4-key sort, and sorts are the proven fast primitive on TPU
+    # (scatter-compaction lowers poorly on the v5e) — then the full 4-key
+    # sort runs over only [acap] elements (~max_occ/avg_occ fewer).
+    nv = (~valid).reshape(-1).astype(jnp.uint32)
+    _, c_q, c_s, c_b, c_p, c_r = jax.lax.sort(
+        (nv, k_q, k_s, k_b, k_p, v_r), dimension=0, num_keys=1
+    )
+    s_q, s_s, s_b, s_p, s_r = jax.lax.sort(
+        (c_q[:acap], c_s[:acap], c_b[:acap], c_p[:acap], c_r[:acap]),
+        dimension=0,
+        num_keys=4,
+    )
+    return s_q, s_s, s_b, s_p, s_r, n_anchors
 
 
 def _collect_anchors_tiered(
@@ -495,26 +567,49 @@ def _extract_chains_fused(
     n_kept = jnp.sum(m_keep.astype(jnp.int32))
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     valid = iota < n_kept
-    s_q, s_s, s_b, s_p, s_r, n_anchors, n_over = _collect_anchors_tiered(
-        idx_hi,
-        idx_lo,
-        idx_seq,
-        idx_pos,
-        idx_strand,
+    mins = (
         c_hi[:cap],
         c_lo[:cap],
         c_pos[:cap].astype(jnp.int32),
         c_strand[:cap].astype(jnp.int32),
         c_qid[:cap].astype(jnp.int32),
-        valid,
-        max_occ,
-        band_bits,
-        tier1,
-        cap2,
-        bkt_off,
-        bkt_bits,
-        bkt_steps,
     )
+    if tier1 > 0:
+        s_q, s_s, s_b, s_p, s_r, n_anchors, n_over = _collect_anchors_tiered(
+            idx_hi,
+            idx_lo,
+            idx_seq,
+            idx_pos,
+            idx_strand,
+            *mins,
+            valid,
+            max_occ,
+            band_bits,
+            tier1,
+            cap2,
+            bkt_off,
+            bkt_bits,
+            bkt_steps,
+        )
+    else:
+        # single-tier: cap2 carries acap (n_over doubles as n_anchors for
+        # the caller's overflow check)
+        s_q, s_s, s_b, s_p, s_r, n_anchors = _collect_anchors_compact(
+            idx_hi,
+            idx_lo,
+            idx_seq,
+            idx_pos,
+            idx_strand,
+            *mins,
+            valid,
+            max_occ,
+            band_bits,
+            cap2,
+            bkt_off,
+            bkt_bits,
+            bkt_steps,
+        )
+        n_over = n_anchors
     chains, n_chains = _chain_reduce_sorted(
         s_q, s_s, s_b, s_p, s_r, k, min_cnt, min_mlen, ccap
     )
@@ -691,7 +786,7 @@ class MinimizerAligner:
         # fused device path: two-tier anchor grid, chains segment on
         # device; retry with doubled caps on overflow (each retry is one
         # recompile — expensive on a TPU tunnel, so caps carry headroom)
-        cap2 = max(1024, cap // 4)
+        cap2 = max(1024, cap // 4) if _TIER1 > 0 else 4 * cap
         ccap = max(1024, min(4 * cap, 1 << 15))
         while True:
             chains, n_chains, n_kept, n_over = _extract_chains_fused(

@@ -205,7 +205,7 @@ class ShardedMinimizerAligner:
         B, L = batch.shape
         NW = L - k - self.index.w + 2
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
-        cap2 = max(1024, cap // 4)
+        cap2 = max(1024, cap // 4) if _TIER1 > 0 else 4 * cap
         ccap = max(1024, min(4 * cap, 1 << 15))
         batch_j = jax.device_put(batch, repl)
         while True:

@@ -307,3 +307,37 @@ def test_minimizer_window_vanherk_oracle():
                 np.testing.assert_array_equal(
                     np.asarray(g), np.asarray(x), err_msg=f"w={w} n={n}"
                 )
+
+
+def test_tiered_anchor_path_matches_host(monkeypatch):
+    """HYMET_TIERED_ANCHORS=1 (two-tier grid) must also match the host
+    oracle exactly. Reload-sensitive: _TIER1 is read at import, so drive
+    the fused function directly through a fresh aligner after patching."""
+    import importlib
+
+    import hymet_tpu.models.aligner as al
+
+    monkeypatch.setenv("HYMET_TIERED_ANCHORS", "1")
+    importlib.reload(al)
+    try:
+        assert al._TIER1 == 4
+        rng = np.random.default_rng(405)
+        genomes, index = _build_panel_index(rng)
+        gmap = dict(genomes)
+        queries = [
+            ("exact", gmap["r0"]),
+            ("mut", _mutate(rng, gmap["r1"], 0.05)),
+            ("rc", _revcomp(gmap["r2"][:5000])),
+            ("chim", gmap["r3"][:4000] + gmap["r4"][2000:6000]),
+        ]
+        names = [q[0] for q in queries]
+        seqs = [q[1] for q in queries]
+        aln = al.MinimizerAligner(index, al.AlignerConfig(batch_pad=1 << 13))
+        monkeypatch.setenv("HYMET_HOST_CHAINS", "1")
+        host_recs = aln.map_batch(names, seqs)
+        monkeypatch.delenv("HYMET_HOST_CHAINS")
+        dev_recs = aln.map_batch(names, seqs)
+        assert host_recs and dev_recs == host_recs
+    finally:
+        monkeypatch.delenv("HYMET_TIERED_ANCHORS")
+        importlib.reload(al)
