@@ -14,8 +14,9 @@ Pipeline split (TPU-first):
     chain segmentation: segmented min/max via associative scan, counts
     via cummax-of-start-indices, filter, compaction to [ccap, 8] rows;
   host — receives only final chain rows (~KB), then primary/secondary
-    selection and PAF emission. (The legacy host reduceat/band-merge
-    path is kept under HYMET_HOST_CHAINS=1 for A/B parity checks.)
+    selection and PAF emission. (HYMET_HOST_CHAINS, default 1 on the dev
+    tunnel, selects the host reduceat/band-merge segmentation instead —
+    byte-equal by A/B test; see _chains_for_batch for the trade-off.)
 
 Chain geometry model: anchors of a colinear alignment share a diagonal
 (rpos - qpos, or rpos + qpos on opposite strands) up to indel drift;
@@ -751,8 +752,14 @@ class MinimizerAligner:
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
         batch_j = batch if hasattr(batch, "devices") else jnp.asarray(batch)
 
-        if os.environ.get("HYMET_HOST_CHAINS") == "1":
-            # legacy host-segmentation path (kept for A/B parity checks)
+        if os.environ.get("HYMET_HOST_CHAINS", "1") == "1":
+            # host-segmentation path — the DEFAULT on the dev tunnel: its
+            # programs are compile-cached and always complete. The fully
+            # on-device chain path (HYMET_HOST_CHAINS=0) is ~2x faster at
+            # steady state (BENCH_NOTES.md) but each new (rows, pad, M)
+            # shape needs a fresh XLA compile, and the tunnel's compile
+            # service stalls such compiles for 20-50+ min in bad windows;
+            # flip the default when targeting stable TPU hosts.
             s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = _extract_collect_sort_fused(
                 self._idx_hi,
                 self._idx_lo,

@@ -268,7 +268,7 @@ def test_device_chains_match_host_chains(monkeypatch):
     aln = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
     monkeypatch.setenv("HYMET_HOST_CHAINS", "1")
     host_recs = aln.map_batch(names, seqs)
-    monkeypatch.delenv("HYMET_HOST_CHAINS")
+    monkeypatch.setenv("HYMET_HOST_CHAINS", "0")
     dev_recs = aln.map_batch(names, seqs)
     assert host_recs, "panel produced no records — test setup broken"
     assert dev_recs == host_recs
@@ -335,7 +335,7 @@ def test_tiered_anchor_path_matches_host(monkeypatch):
         aln = al.MinimizerAligner(index, al.AlignerConfig(batch_pad=1 << 13))
         monkeypatch.setenv("HYMET_HOST_CHAINS", "1")
         host_recs = aln.map_batch(names, seqs)
-        monkeypatch.delenv("HYMET_HOST_CHAINS")
+        monkeypatch.setenv("HYMET_HOST_CHAINS", "0")
         dev_recs = aln.map_batch(names, seqs)
         assert host_recs and dev_recs == host_recs
     finally:
