@@ -6,17 +6,29 @@ downstream coverage-weighted LCA exactly like minimap2's output does
 
 Pipeline split (TPU-first):
   device — ONE fused program: minimizer extraction ([B, L] batches,
-    van Herk O(n) window min), bucketed double binary search into the
-    sorted index (uint32 limb pairs), two-tier anchor expansion (first
-    4 occurrences densely, rare high-occ minimizers via a compacted
-    second grid — ~3x less 4-key-sort input than the [N, max_occ]
-    grid), the 4-key (query, sequence, strand|band, qpos) sort, then
+    van Herk O(n) window min; the batch arrives 2-bit packed — 0.375
+    bytes/base — and unpacks in-program), argsort+gather compaction of
+    kept minimizers, bucketed double binary search into the sorted
+    index (uint32 limb pairs), SLOT compaction of anchor occurrences
+    (validity is computable from per-minimizer counts alone, so the
+    [N, max_occ] grid is never gathered — index gathers and the anchor
+    sort both run over only the compacted [acap] slots), a 2-key sort
+    on packed keys (k1 = qid<<26 | seq, k2 = strand<<24 | band), then
     chain segmentation: segmented min/max via associative scan, counts
-    via cummax-of-start-indices, filter, compaction to [ccap, 8] rows;
+    via cummax-of-start-indices, filter, argsort+gather compaction to
+    [ccap, 8] rows;
   host — receives only final chain rows (~KB), then primary/secondary
     selection and PAF emission. (HYMET_HOST_CHAINS, default 1 on the dev
     tunnel, selects the host reduceat/band-merge segmentation instead —
     byte-equal by A/B test; see _chains_for_batch for the trade-off.)
+
+Sort discipline: every compaction is an argsort of (key, iota) — two
+operands through the sort, then cheap gathers of the surviving rows —
+instead of dragging 5-9 payload columns through O(n log^2 n) sort
+passes; multi-key sorts pack their lexicographic keys into as few
+uint32 words as possible (the comparator cost is per key word). This
+is what makes the anchor pipeline sort-bound rather than
+traffic-bound on the v5e.
 
 Chain geometry model: anchors of a colinear alignment share a diagonal
 (rpos - qpos, or rpos + qpos on opposite strands) up to indel drift;
@@ -37,7 +49,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hymet_tpu.io.fasta import encode_seq
+from hymet_tpu.io.fasta import encode_seq, pack_code_batch
 from hymet_tpu.io.minimizer_index import MinimizerIndex
 from hymet_tpu.io.paf import PafRecord
 from hymet_tpu.ops.minimizer import extract_minimizers_jax
@@ -45,11 +57,12 @@ from hymet_tpu.ops.minimizer import extract_minimizers_jax
 logger = logging.getLogger("hymet_tpu.aligner")
 
 _DIAG_OFF = 1 << 28  # supports |diagonal| < 268 Mbp (largest chromosomes)
-# Two-tier anchor expansion cuts the 4-key-sort input ~3x, but its
-# program has stalled the dev tunnel's XLA compile service (>40 min where
-# the single-tier program takes 8-22 min); default off until profiled on
-# a healthy window. HYMET_TIERED_ANCHORS=1 enables it.
-_TIER1 = 4 if os.environ.get("HYMET_TIERED_ANCHORS") == "1" else 0
+# Packed sort-key layout: k1 = qid << _SEQ_BITS | seq, k2 = rel << 24 | band.
+# qid < 64 (map_batch pins 64-row batches) and seq < 2^26 (67M reference
+# sequences) keep k1 in one uint32; band < 2^24 holds for |diag| < 2^35-ish
+# at the default band_bits=11 (see _DIAG_OFF).
+_SEQ_BITS = 26
+_KEY_BIG = 0xFFFFFFFF
 
 
 @dataclass
@@ -244,7 +257,7 @@ def _collect_and_sort_anchors(
     return s_q, s_s, s_b, s_p, s_r, n_valid
 
 
-def _collect_anchors_compact(
+def _collect_anchors_slots(
     idx_hi,
     idx_lo,
     idx_seq,
@@ -263,12 +276,22 @@ def _collect_anchors_compact(
     bkt_bits: int = 0,
     bkt_steps: int = 0,
 ):
-    """Anchor collection with prefix-sum scatter compaction: anchors land
-    densely in [acap] slots instead of the [N, max_occ] grid, so the 4-key
-    sort runs over ~max_occ/avg_occ times fewer elements (the grid sort was
-    the aligner's dominant device cost). Returns sorted anchor columns
-    [acap] (0xFFFFFFFF sentinel rows past the end) + n_anchors (> acap
-    means overflow: caller must retry with a larger acap)."""
+    """Anchor collection via SLOT compaction: the [N, max_occ] occurrence
+    grid is ~90% padding (typical occurrence is 1-3), and both gathering
+    its index columns and sorting it dominated the align stage. A slot's
+    validity (j < occ[n]) needs no index data, so the compaction argsort
+    runs over just (validity, iota) — two operands — and everything
+    downstream (the seq/pos/strand index gathers, key construction, and
+    the 2-key anchor sort) touches only the [acap] surviving slots,
+    ~N*max_occ/sum(occ) times fewer elements than the grid.
+
+    Keys are packed per the module layout: k1 = qid << _SEQ_BITS | seq,
+    k2 = rel << 24 | band — a 2-key lexicographic sort instead of the
+    4-key (query, seq, strand|band, qpos) one (qpos was never needed as
+    a key: chain extents are order-invariant min/max within a segment).
+    Returns sorted (k1, k2, qpos, rpos) columns [acap] (_KEY_BIG
+    sentinel keys past the end) + n_anchors (> acap means overflow:
+    caller must retry with a larger acap)."""
     M = idx_hi.shape[0]
     left, occ = _search_occ(
         idx_hi, idx_lo, q_hi, q_lo, bkt_off, bkt_bits, bkt_steps
@@ -279,168 +302,66 @@ def _collect_anchors_compact(
 
     N = q_hi.shape[0]
     j = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
-    a_idx = jnp.clip(left[:, None] + j, 0, max(M - 1, 0))
-    valid = keep[:, None] & (j < occ[:, None])
+    slot_valid = keep[:, None] & (j < occ[:, None])  # [N, max_occ], no gathers
+    nv = (~slot_valid).reshape(-1).astype(jnp.uint32)
+    siota = jax.lax.broadcasted_iota(jnp.int32, (N * max_occ, 1), 0).squeeze(-1)
+    _, sperm = jax.lax.sort((nv, siota), dimension=0, num_keys=1)
+    sel = sperm[:acap]
+    n_i = sel // max_occ  # grid is row-major: slot = n * max_occ + j
+    j_i = sel - n_i * max_occ
+    # stable sort packs all valid slots first, so validity is positional
+    aiota = jax.lax.broadcasted_iota(jnp.int32, (acap, 1), 0).squeeze(-1)
+    avalid = aiota < jnp.minimum(n_anchors, acap)
 
+    a_idx = jnp.clip(left[n_i] + j_i, 0, max(M - 1, 0))
     seq = idx_seq[a_idx]
     rpos = idx_pos[a_idx]
     rstrand = idx_strand[a_idx].astype(jnp.int32)
-    rel = (qstrand[:, None] ^ rstrand) & 1
-    diag = jnp.where(rel == 0, rpos - qpos[:, None], rpos + qpos[:, None])
+    aqpos = qpos[n_i]
+    rel = (qstrand[n_i] ^ rstrand) & 1
+    diag = jnp.where(rel == 0, rpos - aqpos, rpos + aqpos)
     band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
     sb = (rel.astype(jnp.uint32) << 24) | band
 
-    big = jnp.uint32(0xFFFFFFFF)
-    k_q = jnp.where(valid, qid[:, None].astype(jnp.uint32), big).reshape(-1)
-    k_s = jnp.where(valid, seq.astype(jnp.uint32), big).reshape(-1)
-    k_b = jnp.where(valid, sb, big).reshape(-1)
-    k_p = jnp.broadcast_to(qpos[:, None], (N, max_occ)).astype(jnp.uint32).reshape(-1)
-    v_r = rpos.astype(jnp.uint32).reshape(-1)
-    # compaction by stable 1-key sort (valid first) — cheap comparator vs
-    # the 4-key sort, and sorts are the proven fast primitive on TPU
-    # (scatter-compaction lowers poorly on the v5e) — then the full 4-key
-    # sort runs over only [acap] elements (~max_occ/avg_occ fewer).
-    nv = (~valid).reshape(-1).astype(jnp.uint32)
-    _, c_q, c_s, c_b, c_p, c_r = jax.lax.sort(
-        (nv, k_q, k_s, k_b, k_p, v_r), dimension=0, num_keys=1
+    big = jnp.uint32(_KEY_BIG)
+    k1 = jnp.where(
+        avalid,
+        (qid[n_i].astype(jnp.uint32) << _SEQ_BITS) | seq.astype(jnp.uint32),
+        big,
     )
-    s_q, s_s, s_b, s_p, s_r = jax.lax.sort(
-        (c_q[:acap], c_s[:acap], c_b[:acap], c_p[:acap], c_r[:acap]),
+    k2 = jnp.where(avalid, sb, big)
+    s_k1, s_k2, s_p, s_r = jax.lax.sort(
+        (k1, k2, aqpos.astype(jnp.uint32), rpos.astype(jnp.uint32)),
         dimension=0,
-        num_keys=4,
+        num_keys=2,
     )
-    return s_q, s_s, s_b, s_p, s_r, n_anchors
-
-
-def _collect_anchors_tiered(
-    idx_hi,
-    idx_lo,
-    idx_seq,
-    idx_pos,
-    idx_strand,
-    q_hi,  # [N] flat compacted query minimizers
-    q_lo,
-    qpos,
-    qstrand,
-    qid,
-    q_valid,
-    max_occ: int,
-    band_bits: int,
-    tier1: int,
-    cap2: int,
-    bkt_off=None,
-    bkt_bits: int = 0,
-    bkt_steps: int = 0,
-):
-    """Two-tier anchor expansion: the [N, max_occ] grid is ~90% padding
-    (typical occurrence is 1-3), and sorting that padding dominated the
-    align stage. Tier 1 expands every hit to its first `tier1` (=4)
-    occurrences in an [N, tier1] grid; the rare minimizers with
-    occ > tier1 compact (cheap 1-key sort over [N]) into a [cap2] pool
-    whose remaining occurrences expand in a second small grid. The
-    combined grid (~N*tier1 + cap2*(max_occ-tier1), ~3x smaller than
-    N*max_occ) feeds the 4-key (query, seq, strand|band, qpos) sort
-    directly. Returns sorted anchor columns + (n_anchors, n_over);
-    n_over > cap2 means tier-2 overflow: caller must retry with cap2
-    doubled."""
-    M = idx_hi.shape[0]
-    left, occ = _search_occ(
-        idx_hi, idx_lo, q_hi, q_lo, bkt_off, bkt_bits, bkt_steps
-    )
-    keep = q_valid & (occ > 0) & (occ <= max_occ)
-    occk = jnp.where(keep, occ, 0)
-    n_anchors = jnp.sum(occk)
-    big = jnp.uint32(0xFFFFFFFF)
-    T = min(tier1, max_occ)
-
-    def cols(left_a, occ_a, qpos_a, qstrand_a, qid_a, keep_a, j0, width):
-        j = j0 + jnp.arange(width, dtype=jnp.int32)[None, :]
-        a_idx = jnp.clip(left_a[:, None] + j, 0, max(M - 1, 0))
-        valid = keep_a[:, None] & (j < occ_a[:, None])
-        seq = idx_seq[a_idx]
-        rpos = idx_pos[a_idx]
-        rstrand = idx_strand[a_idx].astype(jnp.int32)
-        rel = (qstrand_a[:, None] ^ rstrand) & 1
-        diag = jnp.where(
-            rel == 0, rpos - qpos_a[:, None], rpos + qpos_a[:, None]
-        )
-        band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
-        sb = (rel.astype(jnp.uint32) << 24) | band
-        n_rows = left_a.shape[0]
-        k_q = jnp.where(valid, qid_a[:, None].astype(jnp.uint32), big).reshape(-1)
-        k_s = jnp.where(valid, seq.astype(jnp.uint32), big).reshape(-1)
-        k_b = jnp.where(valid, sb, big).reshape(-1)
-        k_p = (
-            jnp.broadcast_to(qpos_a[:, None], (n_rows, width))
-            .astype(jnp.uint32)
-            .reshape(-1)
-        )
-        v_r = rpos.astype(jnp.uint32).reshape(-1)
-        return k_q, k_s, k_b, k_p, v_r
-
-    c1 = cols(left, occ, qpos, qstrand, qid, keep, 0, T)
-
-    if T < max_occ:
-        over = keep & (occ > T)
-        n_over = jnp.sum(over.astype(jnp.int32))
-        not_over = (~over).astype(jnp.uint32)
-        _, o_left, o_occ, o_qpos, o_strand, o_qid = jax.lax.sort(
-            (
-                not_over,
-                left.astype(jnp.uint32),
-                occ.astype(jnp.uint32),
-                qpos.astype(jnp.uint32),
-                qstrand.astype(jnp.uint32),
-                qid.astype(jnp.uint32),
-            ),
-            dimension=0,
-            num_keys=1,
-        )
-        keep2 = jnp.arange(cap2, dtype=jnp.int32) < jnp.minimum(n_over, cap2)
-        c2 = cols(
-            o_left[:cap2].astype(jnp.int32),
-            o_occ[:cap2].astype(jnp.int32),
-            o_qpos[:cap2].astype(jnp.int32),
-            o_strand[:cap2].astype(jnp.int32),
-            o_qid[:cap2].astype(jnp.int32),
-            keep2,
-            T,
-            max_occ - T,
-        )
-        arrays = tuple(
-            jnp.concatenate([a, b]) for a, b in zip(c1, c2)
-        )
-    else:
-        n_over = jnp.int32(0)
-        arrays = c1
-
-    s_q, s_s, s_b, s_p, s_r = jax.lax.sort(arrays, dimension=0, num_keys=4)
-    return s_q, s_s, s_b, s_p, s_r, n_anchors, n_over
+    return s_k1, s_k2, s_p, s_r, n_anchors
 
 
 def _chain_reduce_sorted(
-    s_q, s_s, s_b, s_p, s_r, k: int, min_cnt: int, min_mlen: int, ccap: int
+    s_k1, s_k2, s_p, s_r, k: int, min_cnt: int, min_mlen: int, ccap: int
 ):
-    """On-device chain segmentation over 4-key-sorted anchors (replaces
+    """On-device chain segmentation over 2-key-sorted anchors (replaces
     the host reduceat + band-merge while-loop — ROADMAP items 3-4).
 
-    A chain breaks where (query, seq, strand) changes or the diagonal
-    band jumps by >= 2 (bands are sorted ascending within a group, so
-    consecutive-anchor band deltas equal consecutive-segment deltas —
-    the +-1-band merge of the host path, expressed per anchor). Per-chain
-    min/max extents come from one segmented associative scan; counts from
-    the cummax-of-start-indices trick. Good chains (count >= min_cnt,
-    mlen >= min_mlen) scatter-compact into [ccap, 8] uint32 rows
-    (qid, seq, rel, count, minq, maxq, minr, maxr); n_chains > ccap
-    means overflow (caller retries with larger ccap)."""
-    A = s_q.shape[0]
-    big = jnp.uint32(0xFFFFFFFF)
-    valid = s_q != big
-    band = s_b & jnp.uint32(0xFFFFFF)
-    rel = (s_b >> 24) & jnp.uint32(0xF)
+    A chain breaks where k1 = (query|seq) changes, the strand bit of
+    k2 changes, or the diagonal band jumps by >= 2 (bands are sorted
+    ascending within a group, so consecutive-anchor band deltas equal
+    consecutive-segment deltas — the +-1-band merge of the host path,
+    expressed per anchor). Per-chain min/max extents come from one
+    segmented associative scan; counts from the cummax-of-start-indices
+    trick. Good chains (count >= min_cnt, mlen >= min_mlen)
+    argsort+gather-compact into [ccap, 8] uint32 rows
+    (qid, seq, rel, count, minq, maxq, minr, maxr) — the compaction
+    sort carries only (flag, iota), not the 8 payload columns;
+    n_chains > ccap means overflow (caller retries with larger ccap)."""
+    A = s_k1.shape[0]
+    big = jnp.uint32(_KEY_BIG)
+    valid = s_k2 != big
+    band = s_k2 & jnp.uint32(0xFFFFFF)
+    rel = (s_k2 >> 24) & jnp.uint32(0xF)
     same = (
-        (s_q[1:] == s_q[:-1])
-        & (s_s[1:] == s_s[:-1])
+        (s_k1[1:] == s_k1[:-1])
         & (rel[1:] == rel[:-1])
         & (band[1:] - band[:-1] <= 1)
     )
@@ -468,58 +389,30 @@ def _chain_reduce_sorted(
     mlen = jnp.minimum(cnt * k, span_q)
     good = is_end & valid & (cnt >= min_cnt) & (mlen >= min_mlen)
     n_chains = jnp.sum(good.astype(jnp.int32))
-    # compact good chain-end rows by stable 1-key sort (good first keeps
-    # ascending anchor order — the host path's chain emission order)
+    # argsort+gather compaction: stable 1-key sort of (flag, iota) keeps
+    # ascending anchor order (the host path's chain emission order), then
+    # the 8 output columns gather at the ccap surviving positions only
     not_good = (~good).astype(jnp.uint32)
-    _, o_q, o_s, o_rel, o_cnt, o_minq, o_maxq, o_minr, o_maxr = jax.lax.sort(
-        (
-            not_good,
-            s_q,
-            s_s,
-            rel,
-            cnt.astype(jnp.uint32),
-            minq,
-            maxq,
-            minr,
-            maxr,
-        ),
-        dimension=0,
-        num_keys=1,
-    )
+    _, cperm = jax.lax.sort((not_good, iota), dimension=0, num_keys=1)
+    cs = cperm[:ccap]
+    g_k1 = s_k1[cs]
     out = jnp.stack(
         [
-            o_q[:ccap],
-            o_s[:ccap],
-            o_rel[:ccap],
-            o_cnt[:ccap],
-            o_minq[:ccap],
-            o_maxq[:ccap],
-            o_minr[:ccap],
-            o_maxr[:ccap],
+            g_k1 >> _SEQ_BITS,
+            g_k1 & jnp.uint32((1 << _SEQ_BITS) - 1),
+            rel[cs],
+            cnt[cs].astype(jnp.uint32),
+            minq[cs],
+            maxq[cs],
+            minr[cs],
+            maxr[cs],
         ],
         axis=-1,
     )
     return out, n_chains
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k",
-        "w",
-        "max_occ",
-        "band_bits",
-        "cap",
-        "tier1",
-        "cap2",
-        "ccap",
-        "min_cnt",
-        "min_mlen",
-        "bkt_bits",
-        "bkt_steps",
-    ),
-)
-def _extract_chains_fused(
+def _extract_chains_impl(
     idx_hi,
     idx_lo,
     idx_seq,
@@ -531,8 +424,7 @@ def _extract_chains_fused(
     max_occ: int,
     band_bits: int,
     cap: int,
-    tier1: int,
-    cap2: int,
+    acap: int,
     ccap: int,
     min_cnt: int,
     min_mlen: int,
@@ -541,80 +433,120 @@ def _extract_chains_fused(
     bkt_steps: int = 0,
 ):
     """Whole aligner device path as ONE program: minimizer extraction ->
-    compaction -> bucketed anchor search -> two-tier grid + 4-key sort ->
-    on-device chain segmentation + filtering. The host receives only the
-    final [ccap, 8] chain rows (~KB) instead of per-anchor arrays (~MB).
-    Returns (chains, n_chains, n_kept, n_over); a count above its cap
-    (n_kept > cap, n_over > cap2, n_chains > ccap) means the caller must
-    retry with that cap doubled."""
+    argsort+gather compaction -> bucketed anchor search -> slot
+    compaction + packed 2-key sort -> on-device chain segmentation +
+    filtering. The host receives only the final [ccap, 8] chain rows
+    (~KB) instead of per-anchor arrays (~MB). Returns
+    (chains, n_chains, n_kept, n_anchors); a count above its cap
+    (n_kept > cap, n_anchors > acap, n_chains > ccap) means the caller
+    must retry with that cap doubled."""
     m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(batch, k, w)
     B, NW = m_hi.shape
-    qid = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.int32)[:, None], (B, NW)
-    ).reshape(-1)
+    assert B <= 64, "packed k1 key layout requires <= 64 query rows"
     not_keep = (~m_keep).reshape(-1).astype(jnp.uint32)
-    _, c_hi, c_lo, c_pos, c_strand, c_qid = jax.lax.sort(
-        (
-            not_keep,
-            m_hi.reshape(-1),
-            m_lo.reshape(-1),
-            m_pos.reshape(-1).astype(jnp.uint32),
-            m_strand.reshape(-1).astype(jnp.uint32),
-            qid.astype(jnp.uint32),
-        ),
-        dimension=0,
-        num_keys=1,
-    )
+    fiota = jax.lax.broadcasted_iota(jnp.int32, (B * NW, 1), 0).squeeze(-1)
+    # argsort+gather compaction: only (flag, iota) ride the sort; the
+    # minimizer columns gather at the cap surviving positions
+    _, perm = jax.lax.sort((not_keep, fiota), dimension=0, num_keys=1)
+    sel = perm[:cap]
     n_kept = jnp.sum(m_keep.astype(jnp.int32))
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     valid = iota < n_kept
-    mins = (
-        c_hi[:cap],
-        c_lo[:cap],
-        c_pos[:cap].astype(jnp.int32),
-        c_strand[:cap].astype(jnp.int32),
-        c_qid[:cap].astype(jnp.int32),
+    s_k1, s_k2, s_p, s_r, n_anchors = _collect_anchors_slots(
+        idx_hi,
+        idx_lo,
+        idx_seq,
+        idx_pos,
+        idx_strand,
+        m_hi.reshape(-1)[sel],
+        m_lo.reshape(-1)[sel],
+        m_pos.reshape(-1)[sel].astype(jnp.int32),
+        m_strand.reshape(-1)[sel].astype(jnp.int32),
+        sel // NW,  # row-major flat index -> query row
+        valid,
+        max_occ,
+        band_bits,
+        acap,
+        bkt_off,
+        bkt_bits,
+        bkt_steps,
     )
-    if tier1 > 0:
-        s_q, s_s, s_b, s_p, s_r, n_anchors, n_over = _collect_anchors_tiered(
-            idx_hi,
-            idx_lo,
-            idx_seq,
-            idx_pos,
-            idx_strand,
-            *mins,
-            valid,
-            max_occ,
-            band_bits,
-            tier1,
-            cap2,
-            bkt_off,
-            bkt_bits,
-            bkt_steps,
-        )
-    else:
-        # single-tier: cap2 carries acap (n_over doubles as n_anchors for
-        # the caller's overflow check)
-        s_q, s_s, s_b, s_p, s_r, n_anchors = _collect_anchors_compact(
-            idx_hi,
-            idx_lo,
-            idx_seq,
-            idx_pos,
-            idx_strand,
-            *mins,
-            valid,
-            max_occ,
-            band_bits,
-            cap2,
-            bkt_off,
-            bkt_bits,
-            bkt_steps,
-        )
-        n_over = n_anchors
     chains, n_chains = _chain_reduce_sorted(
-        s_q, s_s, s_b, s_p, s_r, k, min_cnt, min_mlen, ccap
+        s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap
     )
-    return chains, n_chains, n_kept, n_over
+    return chains, n_chains, n_kept, n_anchors
+
+
+_FUSED_STATICS = (
+    "k",
+    "w",
+    "max_occ",
+    "band_bits",
+    "cap",
+    "acap",
+    "ccap",
+    "min_cnt",
+    "min_mlen",
+    "bkt_bits",
+    "bkt_steps",
+)
+
+_extract_chains_fused = functools.partial(
+    jax.jit, static_argnames=_FUSED_STATICS
+)(_extract_chains_impl)
+
+
+@functools.partial(jax.jit, static_argnames=_FUSED_STATICS + ("L",))
+def _extract_chains_fused_packed(
+    idx_hi,
+    idx_lo,
+    idx_seq,
+    idx_pos,
+    idx_strand,
+    packed,  # [B, L/4] 2-bit codes (io.fasta.pack_code_batch)
+    mask,  # [B, L/8] validity bits
+    L: int,
+    k: int,
+    w: int,
+    max_occ: int,
+    band_bits: int,
+    cap: int,
+    acap: int,
+    ccap: int,
+    min_cnt: int,
+    min_mlen: int,
+    bkt_off=None,
+    bkt_bits: int = 0,
+    bkt_steps: int = 0,
+):
+    """:func:`_extract_chains_impl` on a 2-bit packed batch — 0.375
+    bytes/base across the host->device link instead of 1 (the link is
+    the bottleneck of real runs; the reference streams whole FASTAs into
+    minimap2 instead, ``scripts/minimap2.sh:23``). The gather-free
+    unpack fuses into the same program."""
+    from hymet_tpu.ops.hashing import unpack_code_batch_jax
+
+    batch = unpack_code_batch_jax(packed, mask, L)
+    return _extract_chains_impl(
+        idx_hi,
+        idx_lo,
+        idx_seq,
+        idx_pos,
+        idx_strand,
+        batch,
+        k,
+        w,
+        max_occ,
+        band_bits,
+        cap,
+        acap,
+        ccap,
+        min_cnt,
+        min_mlen,
+        bkt_off,
+        bkt_bits,
+        bkt_steps,
+    )
 
 
 def _chains_from_rows(
@@ -661,6 +593,11 @@ class MinimizerAligner:
     """Maps query contigs against a MinimizerIndex, emitting PAF records."""
 
     def __init__(self, index: MinimizerIndex, config: Optional[AlignerConfig] = None):
+        if len(index.names) >= (1 << _SEQ_BITS):
+            raise ValueError(
+                f"index has {len(index.names)} sequences; the packed sort-key "
+                f"layout supports < 2^{_SEQ_BITS} (shard the index)"
+            )
         self.index = index
         self.cfg = config or AlignerConfig()
         hi = (index.hashes >> np.uint64(32)).astype(np.uint32)
@@ -707,8 +644,7 @@ class MinimizerAligner:
         if cur:
             groups.append(cur)
 
-        per_query: dict = {i: [] for i in range(len(seqs))}
-        for group in groups:
+        def _build(group) -> np.ndarray:
             pad = -(-max(max(len(seqs[i]) for i in group), k + w) // cfg.batch_pad) * cfg.batch_pad
             # fixed row counts (powers of two) keep one compile per
             # (rows, pad) shape instead of one per exact group size
@@ -721,7 +657,27 @@ class MinimizerAligner:
             for row, i in enumerate(group):
                 codes = encode_seq(seqs[i])
                 batch[row, : codes.shape[0]] = codes
-            chains = self._chains_for_batch(jnp.asarray(batch))
+            return batch
+
+        host_chains = os.environ.get("HYMET_HOST_CHAINS", "1") == "1"
+
+        def _stage(gi: int):
+            batch = _build(groups[gi])
+            if host_chains:
+                return jnp.asarray(batch)
+            # 2-bit packed upload (0.375 B/base); transfers are async, so
+            # staging a few groups ahead overlaps the link with compute
+            packed, mask, L = pack_code_batch(batch)
+            return (jnp.asarray(packed), jnp.asarray(mask), batch.shape[0], L)
+
+        per_query: dict = {i: [] for i in range(len(seqs))}
+        staged: dict = {}
+        lookahead = 4
+        for gi, group in enumerate(groups):
+            for gj in range(gi, min(gi + lookahead, len(groups))):
+                if gj not in staged:
+                    staged[gj] = _stage(gj)
+            chains = self._chains_for_batch(staged.pop(gi))
             for ch in chains:
                 if ch.qid < len(group):
                     per_query[group[ch.qid]].append(ch)
@@ -743,16 +699,23 @@ class MinimizerAligner:
     # ------------------------------------------------------------------
 
     def _chains_for_batch(self, batch) -> List[_Chain]:
+        """`batch` is a [B, L] uint8 code array (host or device), or — on
+        the device-chain path — a pre-staged (packed, mask, B, L) tuple
+        from :func:`hymet_tpu.io.fasta.pack_code_batch`."""
         k = self.index.k
         cfg = self.cfg
-        B, L = batch.shape
+        packed_in = isinstance(batch, tuple)
+        if packed_in:
+            packed, mask, B, L = batch
+        else:
+            B, L = batch.shape
         NW = L - k - self.index.w + 2
         # on-device compaction cap: minimizer density ~2/(w+1) => NW/4 is
         # ~2.5x headroom; power-of-two for compile-cache stability
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
-        batch_j = batch if hasattr(batch, "devices") else jnp.asarray(batch)
 
-        if os.environ.get("HYMET_HOST_CHAINS", "1") == "1":
+        if not packed_in and os.environ.get("HYMET_HOST_CHAINS", "1") == "1":
+            batch_j = batch if hasattr(batch, "devices") else jnp.asarray(batch)
             # host-segmentation path — the DEFAULT on the dev tunnel: its
             # programs are compile-cached and always complete. The fully
             # on-device chain path (HYMET_HOST_CHAINS=0) is ~2x faster at
@@ -790,43 +753,58 @@ class MinimizerAligner:
                 cfg,
             )
 
-        # fused device path: two-tier anchor grid, chains segment on
+        # fused device path: slot-compacted anchors, chains segment on
         # device; retry with doubled caps on overflow (each retry is one
         # recompile — expensive on a TPU tunnel, so caps carry headroom)
-        cap2 = max(1024, cap // 4) if _TIER1 > 0 else 4 * cap
+        if not packed_in:
+            if isinstance(batch, np.ndarray):
+                p, m, L = pack_code_batch(batch)
+                packed, mask = jnp.asarray(p), jnp.asarray(m)
+                packed_in = True
+            else:
+                batch_j = batch  # already on device: no transfer to save
+        idx_args = (
+            self._idx_hi,
+            self._idx_lo,
+            self._idx_seq,
+            self._idx_pos,
+            self._idx_strand,
+        )
+        tail_kw = dict(
+            bkt_off=self._bkt_off,
+            bkt_bits=self._bkt_bits,
+            bkt_steps=self._bkt_steps,
+        )
+        acap = 4 * cap
         ccap = max(1024, min(4 * cap, 1 << 15))
         while True:
-            chains, n_chains, n_kept, n_over = _extract_chains_fused(
-                self._idx_hi,
-                self._idx_lo,
-                self._idx_seq,
-                self._idx_pos,
-                self._idx_strand,
-                batch_j,
-                k,
-                self.index.w,
+            shape_args = (
                 cfg.max_occ,
                 cfg.band_bits,
                 cap,
-                _TIER1,
-                cap2,
+                acap,
                 ccap,
                 cfg.min_cnt,
                 cfg.min_mlen,
-                self._bkt_off,
-                self._bkt_bits,
-                self._bkt_steps,
             )
+            if packed_in:
+                chains, n_chains, n_kept, n_anchors = _extract_chains_fused_packed(
+                    *idx_args, packed, mask, L, k, self.index.w, *shape_args, **tail_kw
+                )
+            else:
+                chains, n_chains, n_kept, n_anchors = _extract_chains_fused(
+                    *idx_args, batch_j, k, self.index.w, *shape_args, **tail_kw
+                )
             if int(n_kept) > cap:  # pathological minimizer density
                 raise RuntimeError(
                     f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
                 )
-            if int(n_over) > cap2:
+            if int(n_anchors) > acap:
                 logger.info(
-                    "tier-2 overflow (%d > %d): doubling cap2 (recompile)",
-                    int(n_over), cap2,
+                    "anchor overflow (%d > %d): doubling acap (recompile)",
+                    int(n_anchors), acap,
                 )
-                cap2 *= 2
+                acap *= 2
                 continue
             if int(n_chains) > ccap:
                 logger.info(

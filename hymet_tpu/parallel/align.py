@@ -4,10 +4,10 @@ The minimap2 ``-I2g`` batching (reference ``scripts/minimap2.sh:12``,
 ``run_hymet_cami.sh:76-80``) bounded index RAM by processing reference
 chunks *sequentially*; here index shards live on separate devices and are
 searched *in parallel*: every db shard holds a slice of the sorted
-minimizer index, receives the full (replicated) compacted query-minimizer
-batch, runs the anchor double-binary-search + expansion + 4-key sort
-locally, and the host merges per-shard chains (reference sequences are
-disjoint across shards, so the merge is pure concatenation before
+minimizer index, receives the full (replicated) query batch, runs the
+fused extract->search->slot-compact->sort->chain program locally, and
+the host merges per-shard chains (reference sequences are disjoint
+across shards, so the merge is pure concatenation before
 primary/secondary selection).
 """
 
@@ -27,7 +27,6 @@ from hymet_tpu.io.fasta import encode_seq
 from hymet_tpu.io.minimizer_index import MinimizerIndex
 from hymet_tpu.io.paf import PafRecord
 from hymet_tpu.models.aligner import (
-    _TIER1,
     AlignerConfig,
     _chains_from_rows,
     _extract_chains_fused,
@@ -54,6 +53,11 @@ class ShardedMinimizerAligner:
         self.cfg = config or AlignerConfig()
         n_db = mesh.shape["db"]
         self.shards = index.shard(n_db)
+        if any(len(s.names) >= (1 << 26) for s in self.shards):
+            raise ValueError(
+                "an index shard exceeds 2^26 sequences (packed sort-key "
+                "layout); use more db shards"
+            )
         # global seq-id offset per shard (shard() renumbers locally)
         bounds = np.linspace(0, len(index.names), n_db + 1).astype(int)
         self.seq_offsets = bounds[:-1]
@@ -95,8 +99,8 @@ class ShardedMinimizerAligner:
         self._idx_strand = jax.device_put(idx_strand, db_shard)
         self._collect_cache = {}
 
-    def _get_collect(self, cap: int, cap2: int, ccap: int):
-        key = (cap, cap2, ccap)
+    def _get_collect(self, cap: int, acap: int, ccap: int):
+        key = (cap, acap, ccap)
         if key in self._collect_cache:
             return self._collect_cache[key]
         mesh = self.mesh
@@ -129,7 +133,7 @@ class ShardedMinimizerAligner:
             # local index slice (extraction is recomputed per shard — cheap
             # relative to any host round trip); chains segment on device,
             # so only [ccap, 8] chain rows per shard reach the host
-            chains, n_chains, n_kept, n_over = _extract_chains_fused(
+            chains, n_chains, n_kept, n_anchors = _extract_chains_fused(
                 i_hi[0],
                 i_lo[0],
                 i_seq[0],
@@ -141,8 +145,7 @@ class ShardedMinimizerAligner:
                 cfg.max_occ,
                 cfg.band_bits,
                 cap,
-                _TIER1,
-                cap2,
+                acap,
                 ccap,
                 cfg.min_cnt,
                 cfg.min_mlen,
@@ -154,7 +157,7 @@ class ShardedMinimizerAligner:
                 chains[None, :, :],
                 n_chains[None],
                 n_kept[None],
-                n_over[None],
+                n_anchors[None],
             )
 
         self._collect_cache[key] = collect
@@ -205,12 +208,12 @@ class ShardedMinimizerAligner:
         B, L = batch.shape
         NW = L - k - self.index.w + 2
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
-        cap2 = max(1024, cap // 4) if _TIER1 > 0 else 4 * cap
+        acap = 4 * cap
         ccap = max(1024, min(4 * cap, 1 << 15))
         batch_j = jax.device_put(batch, repl)
         while True:
-            c_rows, n_chains, n_kept, n_over = self._get_collect(
-                cap, cap2, ccap
+            c_rows, n_chains, n_kept, n_anchors = self._get_collect(
+                cap, acap, ccap
             )(
                 self._idx_hi,
                 self._idx_lo,
@@ -221,16 +224,16 @@ class ShardedMinimizerAligner:
                 batch_j,
             )
             n_kept = fetch_global(n_kept)
-            n_over = fetch_global(n_over)
+            n_anchors = fetch_global(n_anchors)
             n_chains_h = fetch_global(n_chains)
             if int(np.asarray(n_kept).max()) > cap:
                 raise RuntimeError("minimizer compaction overflow")
-            if int(np.asarray(n_over).max()) > cap2:
+            if int(np.asarray(n_anchors).max()) > acap:
                 logger.info(
-                    "tier-2 overflow (%d > %d): doubling cap2 (recompile)",
-                    int(np.asarray(n_over).max()), cap2,
+                    "anchor overflow (%d > %d): doubling acap (recompile)",
+                    int(np.asarray(n_anchors).max()), acap,
                 )
-                cap2 *= 2
+                acap *= 2
                 continue
             if int(np.asarray(n_chains_h).max()) > ccap:
                 logger.info(

@@ -309,35 +309,42 @@ def test_minimizer_window_vanherk_oracle():
                 )
 
 
-def test_tiered_anchor_path_matches_host(monkeypatch):
-    """HYMET_TIERED_ANCHORS=1 (two-tier grid) must also match the host
-    oracle exactly. Reload-sensitive: _TIER1 is read at import, so drive
-    the fused function directly through a fresh aligner after patching."""
-    import importlib
+def test_packed_upload_matches_unpacked_device_path(monkeypatch):
+    """The device-chain path ships batches 2-bit packed (pack_code_batch
+    -> in-program unpack). Feeding _chains_for_batch the staged packed
+    tuple, the raw numpy batch (packs internally), and a device uint8
+    array (no packing) must all yield identical chains — pinning the
+    pack/unpack roundtrip inside the real aligner program, including the
+    code-4 padded tail."""
+    import jax.numpy as jnp
 
-    import hymet_tpu.models.aligner as al
+    from hymet_tpu.io.fasta import pack_code_batch
+    from hymet_tpu.models.aligner import AlignerConfig, MinimizerAligner
 
-    monkeypatch.setenv("HYMET_TIERED_ANCHORS", "1")
-    importlib.reload(al)
-    try:
-        assert al._TIER1 == 4
-        rng = np.random.default_rng(405)
-        genomes, index = _build_panel_index(rng)
-        gmap = dict(genomes)
-        queries = [
-            ("exact", gmap["r0"]),
-            ("mut", _mutate(rng, gmap["r1"], 0.05)),
-            ("rc", _revcomp(gmap["r2"][:5000])),
-            ("chim", gmap["r3"][:4000] + gmap["r4"][2000:6000]),
+    rng = np.random.default_rng(405)
+    genomes, index = _build_panel_index(rng)
+    gmap = dict(genomes)
+    monkeypatch.setenv("HYMET_HOST_CHAINS", "0")
+    aln = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
+    pad = 1 << 13
+    batch = np.full((4, pad), 4, dtype=np.uint8)
+    for row, q in enumerate(
+        [
+            gmap["r0"][:7000],
+            _mutate(rng, gmap["r1"], 0.05)[:8000],
+            _revcomp(gmap["r2"][:5000]),
+            gmap["r3"][:4000] + gmap["r4"][2000:6000],
         ]
-        names = [q[0] for q in queries]
-        seqs = [q[1] for q in queries]
-        aln = al.MinimizerAligner(index, al.AlignerConfig(batch_pad=1 << 13))
-        monkeypatch.setenv("HYMET_HOST_CHAINS", "1")
-        host_recs = aln.map_batch(names, seqs)
-        monkeypatch.setenv("HYMET_HOST_CHAINS", "0")
-        dev_recs = aln.map_batch(names, seqs)
-        assert host_recs and dev_recs == host_recs
-    finally:
-        monkeypatch.delenv("HYMET_TIERED_ANCHORS")
-        importlib.reload(al)
+    ):
+        codes = encode_seq(q)
+        batch[row, : codes.shape[0]] = codes
+
+    packed, mask, L = pack_code_batch(batch)
+    via_tuple = aln._chains_for_batch(
+        (jnp.asarray(packed), jnp.asarray(mask), batch.shape[0], L)
+    )
+    via_numpy = aln._chains_for_batch(batch)
+    via_device = aln._chains_for_batch(jnp.asarray(batch))
+    assert via_tuple, "no chains produced — test setup broken"
+    assert via_numpy == via_tuple
+    assert via_device == via_tuple
