@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import math
 import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
@@ -275,15 +276,27 @@ def _collect_anchors_slots(
     bkt_off=None,
     bkt_bits: int = 0,
     bkt_steps: int = 0,
+    bsearch: bool = True,
 ):
     """Anchor collection via SLOT compaction: the [N, max_occ] occurrence
     grid is ~90% padding (typical occurrence is 1-3), and both gathering
-    its index columns and sorting it dominated the align stage. A slot's
-    validity (j < occ[n]) needs no index data, so the compaction argsort
-    runs over just (validity, iota) — two operands — and everything
-    downstream (the seq/pos/strand index gathers, key construction, and
-    the 2-key anchor sort) touches only the [acap] surviving slots,
-    ~N*max_occ/sum(occ) times fewer elements than the grid.
+    its index columns and sorting it dominated the align stage. Slot
+    validity (j < occ[n]) needs no index data, so compaction runs before
+    any gather, and everything downstream (the seq/pos/strand index
+    gathers, key construction, and the 2-key anchor sort) touches only
+    the [acap] surviving slots, ~N*max_occ/sum(occ) times fewer elements
+    than the grid.
+
+    Compaction (`bsearch=True`, the default) inverts the destination map
+    dst(n, j) = basex[n] + j (basex = exclusive cumsum of kept occ): for
+    output position p, its source row is the last n with basex[n] <= p —
+    one branchless binary search over [acap] lanes, so the [N, max_occ]
+    grid NEVER materializes and no O(N*max_occ) sort runs at all.
+    `bsearch=False` keeps the grid argsort formulation (a stable 1-key
+    sort of (~validity, iota) over N*max_occ slots); both orders are the
+    row-major valid-slot order, so the two paths are byte-identical
+    (pinned by tests) — the flag exists because sorts are the
+    historically safe compile on the dev tunnel (CLAUDE.md).
 
     Keys are packed per the module layout: k1 = qid << _SEQ_BITS | seq,
     k2 = rel << 24 | band — a 2-key lexicographic sort instead of the
@@ -298,19 +311,39 @@ def _collect_anchors_slots(
     )
     keep = q_valid & (occ > 0) & (occ <= max_occ)
     occk = jnp.where(keep, occ, 0)
-    n_anchors = jnp.sum(occk)
-
     N = q_hi.shape[0]
-    j = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
-    slot_valid = keep[:, None] & (j < occ[:, None])  # [N, max_occ], no gathers
-    nv = (~slot_valid).reshape(-1).astype(jnp.uint32)
-    siota = jax.lax.broadcasted_iota(jnp.int32, (N * max_occ, 1), 0).squeeze(-1)
-    _, sperm = jax.lax.sort((nv, siota), dimension=0, num_keys=1)
-    sel = sperm[:acap]
-    n_i = sel // max_occ  # grid is row-major: slot = n * max_occ + j
-    j_i = sel - n_i * max_occ
-    # stable sort packs all valid slots first, so validity is positional
     aiota = jax.lax.broadcasted_iota(jnp.int32, (acap, 1), 0).squeeze(-1)
+    if bsearch:
+        cbase = jnp.cumsum(occk)  # inclusive cumsum, [N]
+        n_anchors = cbase[-1]
+        basex = cbase - occk  # exclusive base: row n owns [basex, cbase)
+        steps = max(1, int(math.ceil(math.log2(N + 1))))
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = (lo + hi) // 2
+            go_right = basex[mid] <= aiota
+            return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+        lo0 = jnp.zeros((acap,), jnp.int32)
+        hi0 = jnp.full((acap,), N, jnp.int32)
+        last_le, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
+        n_i = jnp.clip(last_le - 1, 0, N - 1)
+        j_i = aiota - basex[n_i]
+    else:
+        n_anchors = jnp.sum(occk)
+        j = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
+        slot_valid = keep[:, None] & (j < occ[:, None])  # [N, max_occ]
+        nv = (~slot_valid).reshape(-1).astype(jnp.uint32)
+        siota = jax.lax.broadcasted_iota(
+            jnp.int32, (N * max_occ, 1), 0
+        ).squeeze(-1)
+        _, sperm = jax.lax.sort((nv, siota), dimension=0, num_keys=1)
+        sel = sperm[:acap]
+        n_i = sel // max_occ  # grid is row-major: slot = n * max_occ + j
+        j_i = sel - n_i * max_occ
+    # both compactions emit valid slots first in row-major order, so
+    # validity is positional
     avalid = aiota < jnp.minimum(n_anchors, acap)
 
     a_idx = jnp.clip(left[n_i] + j_i, 0, max(M - 1, 0))
@@ -431,6 +464,7 @@ def _extract_chains_impl(
     bkt_off=None,
     bkt_bits: int = 0,
     bkt_steps: int = 0,
+    bsearch: bool = True,
 ):
     """Whole aligner device path as ONE program: minimizer extraction ->
     argsort+gather compaction -> bucketed anchor search -> slot
@@ -470,6 +504,7 @@ def _extract_chains_impl(
         bkt_off,
         bkt_bits,
         bkt_steps,
+        bsearch,
     )
     chains, n_chains = _chain_reduce_sorted(
         s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap
@@ -489,6 +524,7 @@ _FUSED_STATICS = (
     "min_mlen",
     "bkt_bits",
     "bkt_steps",
+    "bsearch",
 )
 
 _extract_chains_fused = functools.partial(
@@ -518,6 +554,7 @@ def _extract_chains_fused_packed(
     bkt_off=None,
     bkt_bits: int = 0,
     bkt_steps: int = 0,
+    bsearch: bool = True,
 ):
     """:func:`_extract_chains_impl` on a 2-bit packed batch — 0.375
     bytes/base across the host->device link instead of 1 (the link is
@@ -546,6 +583,7 @@ def _extract_chains_fused_packed(
         bkt_off,
         bkt_bits,
         bkt_steps,
+        bsearch,
     )
 
 
@@ -774,6 +812,9 @@ class MinimizerAligner:
             bkt_off=self._bkt_off,
             bkt_bits=self._bkt_bits,
             bkt_steps=self._bkt_steps,
+            # binary-search slot compaction is the default; =0 falls back
+            # to the grid argsort (byte-identical, see _collect_anchors_slots)
+            bsearch=os.environ.get("HYMET_SLOT_BSEARCH", "1") == "1",
         )
         acap = 4 * cap
         ccap = max(1024, min(4 * cap, 1 << 15))

@@ -272,6 +272,12 @@ def test_device_chains_match_host_chains(monkeypatch):
     dev_recs = aln.map_batch(names, seqs)
     assert host_recs, "panel produced no records — test setup broken"
     assert dev_recs == host_recs
+    # the two slot-compaction formulations (destination-map binary search
+    # vs grid argsort) emit valid slots in the same row-major order, so
+    # their records must be byte-identical too
+    monkeypatch.setenv("HYMET_SLOT_BSEARCH", "0")
+    sort_recs = aln.map_batch(names, seqs)
+    assert sort_recs == dev_recs
 
 
 def test_minimizer_window_vanherk_oracle():
