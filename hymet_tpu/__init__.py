@@ -24,6 +24,17 @@ XLA collectives.
 
 __version__ = "0.1.0"
 
+# Honor HYMET_PLATFORM at the package boundary: some PJRT plugins (axon)
+# ignore the JAX_PLATFORMS env var, and merely initializing their backend
+# dials the device tunnel — which can hang for minutes when the tunnel is
+# unhealthy. Applying the override here (jax.config is import-light; no
+# backend is initialized) makes HYMET_PLATFORM=cpu safe for every entry
+# point, not just the harness.
+from hymet_tpu.utils.jaxtools import apply_platform_override as _apply_platform
+
+_apply_platform()
+del _apply_platform
+
 # Canonical rank order used across the whole framework.
 # Mirrors reference scripts/classification_cami.py:16.
 RANKS = [

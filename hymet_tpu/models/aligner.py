@@ -649,6 +649,9 @@ class MinimizerAligner:
         self._bkt_off = jnp.asarray(off)
         self._bkt_bits = bits
         self._bkt_steps = steps
+        # sticky overflow-retry multipliers (see _finish_batch)
+        self._acap_boost = 1
+        self._ccap_boost = 1
 
     # ------------------------------------------------------------------
 
@@ -709,13 +712,18 @@ class MinimizerAligner:
             return (jnp.asarray(packed), jnp.asarray(mask), batch.shape[0], L)
 
         per_query: dict = {i: [] for i in range(len(seqs))}
-        staged: dict = {}
+        # dispatch-ahead pipeline: device programs for the next `lookahead`
+        # groups are ENQUEUED (async) before this group's results are
+        # fetched, so the chip is never idle while the host builds batches,
+        # segments chains (host-chain path), or emits PAF — and uploads
+        # overlap compute for free (transfers are async)
+        pending: dict = {}
         lookahead = 4
         for gi, group in enumerate(groups):
             for gj in range(gi, min(gi + lookahead, len(groups))):
-                if gj not in staged:
-                    staged[gj] = _stage(gj)
-            chains = self._chains_for_batch(staged.pop(gi))
+                if gj not in pending:
+                    pending[gj] = self._dispatch_batch(_stage(gj))
+            chains = self._finish_batch(pending.pop(gi))
             for ch in chains:
                 if ch.qid < len(group):
                     per_query[group[ch.qid]].append(ch)
@@ -737,9 +745,18 @@ class MinimizerAligner:
     # ------------------------------------------------------------------
 
     def _chains_for_batch(self, batch) -> List[_Chain]:
-        """`batch` is a [B, L] uint8 code array (host or device), or — on
+        """Synchronous dispatch + finish (see the pipelined split below).
+        `batch` is a [B, L] uint8 code array (host or device), or — on
         the device-chain path — a pre-staged (packed, mask, B, L) tuple
         from :func:`hymet_tpu.io.fasta.pack_code_batch`."""
+        return self._finish_batch(self._dispatch_batch(batch))
+
+    def _dispatch_batch(self, batch):
+        """ENQUEUE the device program for one batch and return a pending
+        handle without blocking: jit dispatch is async, so callers can keep
+        the chip busy by dispatching a few batches ahead of the host work
+        (batch build / host chain segmentation / PAF emission) that
+        :meth:`_finish_batch` interleaves."""
         k = self.index.k
         cfg = self.cfg
         packed_in = isinstance(batch, tuple)
@@ -761,7 +778,7 @@ class MinimizerAligner:
             # shape needs a fresh XLA compile, and the tunnel's compile
             # service stalls such compiles for 20-50+ min in bad windows;
             # flip the default when targeting stable TPU hosts.
-            s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = _extract_collect_sort_fused(
+            outs = _extract_collect_sort_fused(
                 self._idx_hi,
                 self._idx_lo,
                 self._idx_seq,
@@ -774,6 +791,67 @@ class MinimizerAligner:
                 cfg.band_bits,
                 cap,
             )
+            return ("host", cap, outs)
+
+        if not packed_in:
+            if isinstance(batch, np.ndarray):
+                p, m, L = pack_code_batch(batch)
+                packed, mask = jnp.asarray(p), jnp.asarray(m)
+                packed_in = True
+            else:
+                batch_j = batch  # already on device: no transfer to save
+        data_args = (packed, mask, L) if packed_in else (batch_j,)
+        acap = 4 * cap * self._acap_boost
+        ccap = max(1024, min(4 * cap, 1 << 15)) * self._ccap_boost
+        outs = self._dispatch_fused(data_args, cap, acap, ccap)
+        return ("dev", cap, acap, ccap, data_args, outs)
+
+    def _dispatch_fused(self, data_args, cap: int, acap: int, ccap: int):
+        cfg = self.cfg
+        idx_args = (
+            self._idx_hi,
+            self._idx_lo,
+            self._idx_seq,
+            self._idx_pos,
+            self._idx_strand,
+        )
+        tail_kw = dict(
+            bkt_off=self._bkt_off,
+            bkt_bits=self._bkt_bits,
+            bkt_steps=self._bkt_steps,
+            # binary-search slot compaction is the default; =0 falls back
+            # to the grid argsort (byte-identical, see _collect_anchors_slots)
+            bsearch=os.environ.get("HYMET_SLOT_BSEARCH", "1") == "1",
+        )
+        shape_args = (
+            cfg.max_occ,
+            cfg.band_bits,
+            cap,
+            acap,
+            ccap,
+            cfg.min_cnt,
+            cfg.min_mlen,
+        )
+        k, w = self.index.k, self.index.w
+        if len(data_args) == 3:  # (packed, mask, L)
+            return _extract_chains_fused_packed(
+                *idx_args, *data_args, k, w, *shape_args, **tail_kw
+            )
+        return _extract_chains_fused(
+            *idx_args, data_args[0], k, w, *shape_args, **tail_kw
+        )
+
+    def _finish_batch(self, pending) -> List[_Chain]:
+        """Block on a pending handle from :meth:`_dispatch_batch`, retrying
+        the fused device path with doubled caps on overflow (each retry is
+        one recompile — expensive on a TPU tunnel, so caps carry headroom
+        and boosts are sticky per aligner so a workload that overflows once
+        doesn't re-overflow on every subsequent batch)."""
+        k = self.index.k
+        cfg = self.cfg
+        if pending[0] == "host":
+            _, cap, outs = pending
+            s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = outs
             if int(n_kept) > cap:  # pathological minimizer density
                 raise RuntimeError(
                     f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
@@ -791,51 +869,9 @@ class MinimizerAligner:
                 cfg,
             )
 
-        # fused device path: slot-compacted anchors, chains segment on
-        # device; retry with doubled caps on overflow (each retry is one
-        # recompile — expensive on a TPU tunnel, so caps carry headroom)
-        if not packed_in:
-            if isinstance(batch, np.ndarray):
-                p, m, L = pack_code_batch(batch)
-                packed, mask = jnp.asarray(p), jnp.asarray(m)
-                packed_in = True
-            else:
-                batch_j = batch  # already on device: no transfer to save
-        idx_args = (
-            self._idx_hi,
-            self._idx_lo,
-            self._idx_seq,
-            self._idx_pos,
-            self._idx_strand,
-        )
-        tail_kw = dict(
-            bkt_off=self._bkt_off,
-            bkt_bits=self._bkt_bits,
-            bkt_steps=self._bkt_steps,
-            # binary-search slot compaction is the default; =0 falls back
-            # to the grid argsort (byte-identical, see _collect_anchors_slots)
-            bsearch=os.environ.get("HYMET_SLOT_BSEARCH", "1") == "1",
-        )
-        acap = 4 * cap
-        ccap = max(1024, min(4 * cap, 1 << 15))
+        _, cap, acap, ccap, data_args, outs = pending
         while True:
-            shape_args = (
-                cfg.max_occ,
-                cfg.band_bits,
-                cap,
-                acap,
-                ccap,
-                cfg.min_cnt,
-                cfg.min_mlen,
-            )
-            if packed_in:
-                chains, n_chains, n_kept, n_anchors = _extract_chains_fused_packed(
-                    *idx_args, packed, mask, L, k, self.index.w, *shape_args, **tail_kw
-                )
-            else:
-                chains, n_chains, n_kept, n_anchors = _extract_chains_fused(
-                    *idx_args, batch_j, k, self.index.w, *shape_args, **tail_kw
-                )
+            chains, n_chains, n_kept, n_anchors = outs
             if int(n_kept) > cap:  # pathological minimizer density
                 raise RuntimeError(
                     f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
@@ -846,15 +882,17 @@ class MinimizerAligner:
                     int(n_anchors), acap,
                 )
                 acap *= 2
-                continue
-            if int(n_chains) > ccap:
+                self._acap_boost *= 2
+            elif int(n_chains) > ccap:
                 logger.info(
                     "chain overflow (%d > %d): doubling ccap (recompile)",
                     int(n_chains), ccap,
                 )
                 ccap *= 2
-                continue
-            break
+                self._ccap_boost *= 2
+            else:
+                break
+            outs = self._dispatch_fused(data_args, cap, acap, ccap)
         n = int(n_chains)
         if n == 0:
             return []
@@ -893,43 +931,46 @@ def chains_from_sorted_anchors(
     g_rel = (sb[starts] >> 24) & 0xF
     g_band = sb[starts] & 0xFFFFFF
 
-    # merge adjacent bands within the same (query, seq, strand)
-    chains: List[_Chain] = []
-    i = 0
-    S = len(starts)
-    while i < S:
-        j = i + 1
-        c = _Chain(
-            qid=int(g_qid[i]),
-            seq=int(g_seq[i]) + seq_offset,
-            rel=int(g_rel[i]),
-            count=int(counts[i]),
-            minq=int(minq[i]),
-            maxq=int(maxq[i]),
-            minr=int(minr[i]),
-            maxr=int(maxr[i]),
+    # merge adjacent bands within the same (query, seq, strand): a second
+    # reduceat level over the per-segment stats. Merging is a chain of
+    # adjacent-pair conditions (band delta <= 1 vs the PREVIOUS segment;
+    # group-key equality is transitive), so one vectorized boundary mask
+    # replaces the former per-segment Python while-loop — the dominant
+    # host cost at pipeline scale.
+    merge = (
+        (g_qid[1:] == g_qid[:-1])
+        & (g_seq[1:] == g_seq[:-1])
+        & (g_rel[1:] == g_rel[:-1])
+        & (g_band[1:] - g_band[:-1] <= 1)
+    )
+    cstarts = np.flatnonzero(np.concatenate(([True], ~merge)))
+    c_cnt = np.add.reduceat(counts, cstarts)
+    c_minq = np.minimum.reduceat(minq, cstarts)
+    c_maxq = np.maximum.reduceat(maxq, cstarts)
+    c_minr = np.minimum.reduceat(minr, cstarts)
+    c_maxr = np.maximum.reduceat(maxr, cstarts)
+    span_q = c_maxq - c_minq + k
+    span_r = c_maxr - c_minr + k
+    c_mlen = np.minimum(c_cnt * k, span_q)
+    c_blen = np.maximum(span_q, span_r)
+    good = (c_cnt >= cfg.min_cnt) & (c_mlen >= cfg.min_mlen)
+    idx = np.flatnonzero(good)
+    first = cstarts[idx]
+    return [
+        _Chain(
+            qid=int(g_qid[f]),
+            seq=int(g_seq[f]) + seq_offset,
+            rel=int(g_rel[f]),
+            count=int(c_cnt[c]),
+            minq=int(c_minq[c]),
+            maxq=int(c_maxq[c]),
+            minr=int(c_minr[c]),
+            maxr=int(c_maxr[c]),
+            mlen=int(c_mlen[c]),
+            blen=int(c_blen[c]),
         )
-        while (
-            j < S
-            and g_qid[j] == g_qid[i]
-            and g_seq[j] == g_seq[i]
-            and g_rel[j] == g_rel[i]
-            and g_band[j] - g_band[j - 1] <= 1
-        ):
-            c.count += int(counts[j])
-            c.minq = min(c.minq, int(minq[j]))
-            c.maxq = max(c.maxq, int(maxq[j]))
-            c.minr = min(c.minr, int(minr[j]))
-            c.maxr = max(c.maxr, int(maxr[j]))
-            j += 1
-        i = j
-        span_q = c.maxq - c.minq + k
-        span_r = c.maxr - c.minr + k
-        c.mlen = min(c.count * k, span_q)
-        c.blen = max(span_q, span_r)
-        if c.count >= cfg.min_cnt and c.mlen >= cfg.min_mlen:
-            chains.append(c)
-    return chains
+        for c, f in zip(idx, first)
+    ]
 
 
 def emit_paf(
