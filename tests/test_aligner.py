@@ -280,6 +280,32 @@ def test_device_chains_match_host_chains(monkeypatch):
     assert sort_recs == dev_recs
 
 
+def test_pipelined_dispatch_many_groups(monkeypatch):
+    """map_batch dispatches device programs several groups ahead of the
+    fetch (the pending-dict pipeline). With more groups than the
+    lookahead, per-query records must still land on the right queries in
+    input order on both chain paths."""
+    rng = np.random.default_rng(406)
+    genomes, index = _build_panel_index(rng)
+    gmap = dict(genomes)
+    # many distinct lengths -> many pad groups (batch_pad quantum 2^10)
+    names, seqs = [], []
+    for j in range(12):
+        src = gmap[f"r{j % 6}"]
+        ln = 1500 + 600 * j
+        names.append(f"q{j}")
+        seqs.append(src[: min(ln, len(src))])
+    aln = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 10))
+    for flag in ("1", "0"):
+        monkeypatch.setenv("HYMET_HOST_CHAINS", flag)
+        recs = aln.map_batch(names, seqs)
+        primaries = {
+            r.qname: r.tname for r in recs if r.tags.get("tp") == "A:P"
+        }
+        for j in range(12):
+            assert primaries.get(f"q{j}") == f"r{j % 6}", (flag, j, primaries.get(f"q{j}"))
+
+
 def test_minimizer_window_vanherk_oracle():
     """van Herk window-min must match the unrolled O(n*w) reference
     bit-for-bit, including leftmost tie-breaks (forced by low-entropy
