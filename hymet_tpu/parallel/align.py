@@ -98,6 +98,9 @@ class ShardedMinimizerAligner:
         self._idx_pos = jax.device_put(idx_pos, db_shard)
         self._idx_strand = jax.device_put(idx_strand, db_shard)
         self._collect_cache = {}
+        # sticky overflow-retry multipliers (see _finish_batch)
+        self._acap_boost = 1
+        self._ccap_boost = 1
 
     def _get_collect(self, cap: int, acap: int, ccap: int):
         key = (cap, acap, ccap)
@@ -178,14 +181,30 @@ class ShardedMinimizerAligner:
         # one padded batch (simpler than the single-device bucketing; the
         # sharded path targets large uniform workloads)
         pad = -(-max(max((len(s) for s in seqs), default=1), k + w) // cfg.batch_pad) * cfg.batch_pad
-        for base in range(0, len(seqs), 64):
-            group = list(range(base, min(base + 64, len(seqs))))
+        groups = [
+            list(range(base, min(base + 64, len(seqs))))
+            for base in range(0, len(seqs), 64)
+        ]
+
+        def _build(group) -> np.ndarray:
             rows = 64 if len(seqs) >= 64 else len(group)
             batch = np.full((rows, pad), 4, dtype=np.uint8)
             for row, i in enumerate(group):
                 codes = encode_seq(seqs[i])
                 batch[row, : codes.shape[0]] = codes
-            for ch in self._chains_for_batch(batch):
+            return batch
+
+        # dispatch-ahead pipeline (same shape as MinimizerAligner.map_batch):
+        # the next groups' shard_map programs are enqueued before this
+        # group's results are fetched, overlapping host batch building and
+        # chain merging with device compute
+        pending: dict = {}
+        lookahead = 4
+        for gi, group in enumerate(groups):
+            for gj in range(gi, min(gi + lookahead, len(groups))):
+                if gj not in pending:
+                    pending[gj] = self._dispatch_batch(_build(groups[gj]))
+            for ch in self._finish_batch(pending.pop(gi)):
                 per_query[group[ch.qid]].append(ch)
 
         for i, name in enumerate(names):
@@ -203,26 +222,36 @@ class ShardedMinimizerAligner:
         return records
 
     def _chains_for_batch(self, batch: np.ndarray):
+        return self._finish_batch(self._dispatch_batch(batch))
+
+    def _dispatch_batch(self, batch: np.ndarray):
+        """Enqueue the sharded program for one batch without blocking."""
         k = self.index.k
         repl = NamedSharding(self.mesh, P())
         B, L = batch.shape
         NW = L - k - self.index.w + 2
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
-        acap = 4 * cap
-        ccap = max(1024, min(4 * cap, 1 << 15))
+        acap = 4 * cap * self._acap_boost
+        ccap = max(1024, min(4 * cap, 1 << 15)) * self._ccap_boost
         batch_j = jax.device_put(batch, repl)
+        outs = self._get_collect(cap, acap, ccap)(
+            self._idx_hi,
+            self._idx_lo,
+            self._idx_seq,
+            self._idx_pos,
+            self._idx_strand,
+            self._bkt_off,
+            batch_j,
+        )
+        return (cap, acap, ccap, batch_j, outs)
+
+    def _finish_batch(self, pending):
+        """Block on a pending handle, retrying with doubled (sticky) caps
+        on overflow."""
+        k = self.index.k
+        cap, acap, ccap, batch_j, outs = pending
         while True:
-            c_rows, n_chains, n_kept, n_anchors = self._get_collect(
-                cap, acap, ccap
-            )(
-                self._idx_hi,
-                self._idx_lo,
-                self._idx_seq,
-                self._idx_pos,
-                self._idx_strand,
-                self._bkt_off,
-                batch_j,
-            )
+            c_rows, n_chains, n_kept, n_anchors = outs
             n_kept = fetch_global(n_kept)
             n_anchors = fetch_global(n_anchors)
             n_chains_h = fetch_global(n_chains)
@@ -234,15 +263,25 @@ class ShardedMinimizerAligner:
                     int(np.asarray(n_anchors).max()), acap,
                 )
                 acap *= 2
-                continue
-            if int(np.asarray(n_chains_h).max()) > ccap:
+                self._acap_boost *= 2
+            elif int(np.asarray(n_chains_h).max()) > ccap:
                 logger.info(
                     "chain overflow (%d > %d): doubling ccap (recompile)",
                     int(np.asarray(n_chains_h).max()), ccap,
                 )
                 ccap *= 2
-                continue
-            break
+                self._ccap_boost *= 2
+            else:
+                break
+            outs = self._get_collect(cap, acap, ccap)(
+                self._idx_hi,
+                self._idx_lo,
+                self._idx_seq,
+                self._idx_pos,
+                self._idx_strand,
+                self._bkt_off,
+                batch_j,
+            )
         c_rows = fetch_global(c_rows)
         n_chains = np.asarray(n_chains_h)
 
