@@ -380,3 +380,35 @@ def test_packed_upload_matches_unpacked_device_path(monkeypatch):
     assert via_tuple, "no chains produced — test setup broken"
     assert via_numpy == via_tuple
     assert via_device == via_tuple
+
+
+def test_anchor_overflow_retries_with_sticky_boost(monkeypatch):
+    """A highly repetitive index (every minimizer occurring ~16 times)
+    overflows the default anchor cap; the device-chain path must retry
+    with a doubled cap, keep the boost sticky for later batches, and
+    still emit records identical to the host path."""
+    rng = np.random.default_rng(407)
+    unit = _rand_seq(rng, 50_000)
+    genomes = [(f"copy{i}", unit) for i in range(16)]
+    from hymet_tpu.io.minimizer_index import MinimizerIndex
+
+    index = MinimizerIndex.build(genomes, k=19, w=19)
+    query = [("q0", unit[1000:45_000])]
+    names = [q[0] for q in query]
+    seqs = [q[1] for q in query]
+
+    monkeypatch.setenv("HYMET_HOST_CHAINS", "0")
+    aln = MinimizerAligner(index)
+    dev_recs = aln.map_batch(names, seqs)
+    assert aln._acap_boost > 1, "expected the anchor cap to overflow"
+    # a second batch must not re-overflow (sticky boost)
+    boost = aln._acap_boost
+    dev_recs2 = aln.map_batch(names, seqs)
+    assert aln._acap_boost == boost
+    assert dev_recs2 == dev_recs
+
+    monkeypatch.setenv("HYMET_HOST_CHAINS", "1")
+    host_recs = aln.map_batch(names, seqs)
+    assert host_recs == dev_recs
+    # every copy is hit full-length
+    assert len({r.tname for r in dev_recs}) == 16
