@@ -164,6 +164,28 @@ def build_bucket_table(hi: np.ndarray, m: int):
     return off, bits, steps
 
 
+def expected_anchor_occ(hashes: np.ndarray, max_occ: int) -> float:
+    """Expected anchors per query minimizer for self-similar queries,
+    from the index's occurrence distribution: a query hash is drawn with
+    probability proportional to its occurrence, and contributes `occ`
+    anchors if occ <= max_occ (else it is dropped) — so
+    E = sum_{occ<=max_occ} occ^2 / sum_all occ. Sizes the device anchor
+    cap: a diverse reference set (occ ~ 1) needs a ~4x smaller anchor
+    sort than the worst-case 4*cap grid bound."""
+    M = hashes.shape[0]
+    if M == 0:
+        return 1.0
+    change = np.ones(M, dtype=bool)
+    change[1:] = hashes[1:] != hashes[:-1]
+    occ = np.diff(np.append(np.flatnonzero(change), M))
+    kept = occ[occ <= max_occ]
+    return float((kept.astype(np.float64) ** 2).sum() / max(occ.sum(), 1))
+
+
+def _round_pow2(x: float, lo: int) -> int:
+    return max(lo, 1 << int(np.ceil(np.log2(max(x, 1.0)))))
+
+
 def _search_occ(idx_hi, idx_lo, q_hi, q_lo, bkt_off=None, bkt_bits=0, bkt_steps=0):
     """Double lower/upper-bound binary search of query minimizers in the
     sorted index: returns (left, occ) per query minimizer. With a bucket
@@ -652,6 +674,7 @@ class MinimizerAligner:
         # sticky overflow-retry multipliers (see _finish_batch)
         self._acap_boost = 1
         self._ccap_boost = 1
+        self._exp_occ = expected_anchor_occ(index.hashes, self.cfg.max_occ)
 
     # ------------------------------------------------------------------
 
@@ -801,7 +824,14 @@ class MinimizerAligner:
             else:
                 batch_j = batch  # already on device: no transfer to save
         data_args = (packed, mask, L) if packed_in else (batch_j,)
-        acap = 4 * cap * self._acap_boost
+        # anchor cap from the index's occurrence stats: expected anchors
+        # = windows x minimizer density (~2/(w+1) ~ 0.11) x E[occ], with
+        # 1.5x headroom, pow2-rounded for compile-cache stability, never
+        # above the 4*cap grid bound; sticky boosts absorb misestimates
+        # (one retry recompile, then never again for this aligner)
+        exp_anchors = B * NW * 0.11 * self._exp_occ
+        acap = min(_round_pow2(1.5 * exp_anchors, 2048), 4 * cap)
+        acap *= self._acap_boost
         ccap = max(1024, min(4 * cap, 1 << 15)) * self._ccap_boost
         outs = self._dispatch_fused(data_args, cap, acap, ccap)
         return ("dev", cap, acap, ccap, data_args, outs)

@@ -30,8 +30,10 @@ from hymet_tpu.models.aligner import (
     AlignerConfig,
     _chains_from_rows,
     _extract_chains_fused,
+    _round_pow2,
     build_bucket_table,
     emit_paf,
+    expected_anchor_occ,
 )
 from hymet_tpu.parallel.mesh import fetch_global
 
@@ -101,6 +103,16 @@ class ShardedMinimizerAligner:
         # sticky overflow-retry multipliers (see _finish_batch)
         self._acap_boost = 1
         self._ccap_boost = 1
+        # worst shard's occurrence expectation (uniform program: every
+        # shard runs with the same anchor cap)
+        self._exp_occ = max(
+            (
+                expected_anchor_occ(s.hashes, self.cfg.max_occ)
+                for s in self.shards
+                if s.n_minimizers > 0
+            ),
+            default=1.0,
+        )
 
     def _get_collect(self, cap: int, acap: int, ccap: int):
         key = (cap, acap, ccap)
@@ -231,7 +243,10 @@ class ShardedMinimizerAligner:
         B, L = batch.shape
         NW = L - k - self.index.w + 2
         cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
-        acap = 4 * cap * self._acap_boost
+        # occurrence-informed anchor cap (see MinimizerAligner._dispatch_batch)
+        exp_anchors = B * NW * 0.11 * self._exp_occ
+        acap = min(_round_pow2(1.5 * exp_anchors, 2048), 4 * cap)
+        acap *= self._acap_boost
         ccap = max(1024, min(4 * cap, 1 << 15)) * self._ccap_boost
         batch_j = jax.device_put(batch, repl)
         outs = self._get_collect(cap, acap, ccap)(
