@@ -82,7 +82,21 @@ def _init_jax():
 
     apply_platform_override()
     enable_compile_cache()
-    dev = jax.devices()[0]
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError as e:
+        # The axon tunnel self-terminates a dial after ~25 min with
+        # "Unable to initialize backend" when its compile service is down
+        # (outages last hours). jax caches the failure in-process, so the
+        # retry must be a clean re-exec of this script.
+        attempt = int(os.environ.get("_BENCH_DIAL_ATTEMPT", "0"))
+        retries = int(os.environ.get("BENCH_DIAL_RETRIES", "2"))
+        log(f"backend init failed (attempt {attempt + 1}/{retries + 1}): {e}")
+        if attempt >= retries:
+            raise
+        time.sleep(180)
+        os.environ["_BENCH_DIAL_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     log(f"device: {dev.platform} {dev.device_kind}")
     return jax
 
