@@ -882,19 +882,24 @@ class MinimizerAligner:
         if pending[0] == "host":
             _, cap, outs = pending
             s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = outs
-            if int(n_kept) > cap:  # pathological minimizer density
+            # one tunnel round trip for both scalars (separate int() calls
+            # each pay full link latency on remote devices)
+            n, n_kept_h = map(int, jax.device_get((n_valid, n_kept)))
+            if n_kept_h > cap:  # pathological minimizer density
                 raise RuntimeError(
-                    f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
+                    f"minimizer compaction overflow: {n_kept_h} > cap {cap}"
                 )
-            n = int(n_valid)
             if n == 0:
                 return []
+            h_q, h_s, h_b, h_p, h_r = jax.device_get(
+                (s_q[:n], s_s[:n], s_b[:n], s_p[:n], s_r[:n])
+            )
             return chains_from_sorted_anchors(
-                np.asarray(s_q[:n]).astype(np.int64),
-                np.asarray(s_s[:n]).astype(np.int64),
-                np.asarray(s_b[:n]).astype(np.int64),
-                np.asarray(s_p[:n]).astype(np.int64),
-                np.asarray(s_r[:n]).astype(np.int64),
+                h_q.astype(np.int64),
+                h_s.astype(np.int64),
+                h_b.astype(np.int64),
+                h_p.astype(np.int64),
+                h_r.astype(np.int64),
                 k,
                 cfg,
             )
@@ -902,31 +907,33 @@ class MinimizerAligner:
         _, cap, acap, ccap, data_args, outs = pending
         while True:
             chains, n_chains, n_kept, n_anchors = outs
-            if int(n_kept) > cap:  # pathological minimizer density
+            n_chains_i, n_kept_i, n_anchors_i = map(
+                int, jax.device_get((n_chains, n_kept, n_anchors))
+            )
+            if n_kept_i > cap:  # pathological minimizer density
                 raise RuntimeError(
-                    f"minimizer compaction overflow: {int(n_kept)} > cap {cap}"
+                    f"minimizer compaction overflow: {n_kept_i} > cap {cap}"
                 )
-            if int(n_anchors) > acap:
+            if n_anchors_i > acap:
                 logger.info(
                     "anchor overflow (%d > %d): doubling acap (recompile)",
-                    int(n_anchors), acap,
+                    n_anchors_i, acap,
                 )
                 acap *= 2
                 self._acap_boost *= 2
-            elif int(n_chains) > ccap:
+            elif n_chains_i > ccap:
                 logger.info(
                     "chain overflow (%d > %d): doubling ccap (recompile)",
-                    int(n_chains), ccap,
+                    n_chains_i, ccap,
                 )
                 ccap *= 2
                 self._ccap_boost *= 2
             else:
                 break
             outs = self._dispatch_fused(data_args, cap, acap, ccap)
-        n = int(n_chains)
-        if n == 0:
+        if n_chains_i == 0:
             return []
-        return _chains_from_rows(np.asarray(chains[:n]), k)
+        return _chains_from_rows(np.asarray(chains[:n_chains_i]), k)
 
 
 def chains_from_sorted_anchors(
