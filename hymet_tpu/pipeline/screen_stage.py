@@ -86,11 +86,9 @@ def stream_screen(
         if buf_row == 0:
             return
         batch = buf if buf_row == ROWS else buf[:buf_row].copy()
-        if mesh is not None:
-            eng.update_codes(batch)  # sharded engine device_puts numpy
-        else:
-            # 2-bit packed upload: 2.7x less host->device transfer
-            eng.update_codes_packed(batch)
+        # 2-bit packed upload: 2.7x less host->device transfer (the
+        # sharded engine ships packed rows per data shard the same way)
+        eng.update_codes_packed(batch)
         buf = np.full((ROWS, chunk_bp), 4, dtype=np.uint8)
         buf_row = 0
 
