@@ -470,9 +470,11 @@ def bench_align() -> dict:
             break
         t0 = time.time()
         n_ch = 0
-        for b in batches:
-            ch = aligner._chains_for_batch(b)  # includes host _Chain build
-            n_ch += len(ch)
+        # dispatch-ahead like map_batch: all group programs enqueue before
+        # the first fetch, so host _Chain builds overlap device compute
+        pend = [aligner._dispatch_batch(b) for b in batches]
+        for p in pend:
+            n_ch += len(aligner._finish_batch(p))
         times.append(time.time() - t0)
     best = min(times)
     bp_group = len(batches) * rows * pad
