@@ -35,7 +35,7 @@ from hymet_tpu.models.aligner import (
     emit_paf,
     expected_anchor_occ,
 )
-from hymet_tpu.parallel.mesh import fetch_global
+from hymet_tpu.parallel.mesh import fetch_global, fetch_global_tree
 
 
 logger = logging.getLogger("hymet_tpu.aligner")
@@ -267,9 +267,9 @@ class ShardedMinimizerAligner:
         cap, acap, ccap, batch_j, outs = pending
         while True:
             c_rows, n_chains, n_kept, n_anchors = outs
-            n_kept = fetch_global(n_kept)
-            n_anchors = fetch_global(n_anchors)
-            n_chains_h = fetch_global(n_chains)
+            n_kept, n_anchors, n_chains_h = fetch_global_tree(
+                (n_kept, n_anchors, n_chains)
+            )
             if int(np.asarray(n_kept).max()) > cap:
                 raise RuntimeError("minimizer compaction overflow")
             if int(np.asarray(n_anchors).max()) > acap:

@@ -46,3 +46,14 @@ def fetch_global(x) -> np.ndarray:
 
         return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return np.asarray(x)
+
+
+def fetch_global_tree(xs):
+    """fetch_global over a pytree in ONE host round trip (per-array
+    fetches each pay full link latency on remote devices)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.process_allgather(xs, tiled=True)
+        return jax.tree.map(np.asarray, out)
+    return jax.device_get(xs)
