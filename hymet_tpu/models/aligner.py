@@ -53,6 +53,7 @@ import numpy as np
 from hymet_tpu.io.fasta import encode_seq, pack_code_batch
 from hymet_tpu.io.minimizer_index import MinimizerIndex
 from hymet_tpu.io.paf import PafRecord
+from hymet_tpu.ops.compaction import slot_compact_indices
 from hymet_tpu.ops.minimizer import extract_minimizers_jax
 
 logger = logging.getLogger("hymet_tpu.aligner")
@@ -336,22 +337,7 @@ def _collect_anchors_slots(
     N = q_hi.shape[0]
     aiota = jax.lax.broadcasted_iota(jnp.int32, (acap, 1), 0).squeeze(-1)
     if bsearch:
-        cbase = jnp.cumsum(occk)  # inclusive cumsum, [N]
-        n_anchors = cbase[-1]
-        basex = cbase - occk  # exclusive base: row n owns [basex, cbase)
-        steps = max(1, int(math.ceil(math.log2(N + 1))))
-
-        def body(_, carry):
-            lo, hi = carry
-            mid = (lo + hi) // 2
-            go_right = basex[mid] <= aiota
-            return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
-
-        lo0 = jnp.zeros((acap,), jnp.int32)
-        hi0 = jnp.full((acap,), N, jnp.int32)
-        last_le, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
-        n_i = jnp.clip(last_le - 1, 0, N - 1)
-        j_i = aiota - basex[n_i]
+        n_i, j_i, n_anchors = slot_compact_indices(occk, acap)
     else:
         n_anchors = jnp.sum(occk)
         j = jnp.arange(max_occ, dtype=jnp.int32)[None, :]

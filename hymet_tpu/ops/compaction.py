@@ -1,0 +1,64 @@
+"""Slot compaction by destination-map inversion (sort-free, gather-light).
+
+The recurring TPU pattern in this codebase: a stream of N rows each owns
+``occ[n] >= 0`` items, and the items must compact densely into a static
+``[cap]`` buffer in row-major order — WITHOUT materializing the
+``[N, max_occ]`` slot grid and without an O(N*max_occ) sort. The
+destination of row ``n``'s item ``j`` is ``basex[n] + j`` where
+``basex`` is the exclusive cumsum of ``occ``; inverting that map for an
+output slot ``p`` is one branchless binary search for the last row with
+``basex[n] <= p``. Empty rows collapse onto their successor's base, so
+the "last <=" row is always the occupied row whose half-open interval
+``[basex[n], basex[n] + occ[n])`` contains ``p``.
+
+Used by the aligner's anchor-occurrence expansion
+(``models/aligner.py::_collect_anchors``) and the screen's bottom-sketch
+survivor compaction (``ops/sketch.py::_count_prefilter``). Sorts remain
+the fallback primitive on the dev tunnel (see CLAUDE.md), so callers
+keep a sort-based twin behind a flag where compile safety matters.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def slot_compact_indices(
+    occ: jax.Array, cap: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Invert ``dst(n, j) = basex[n] + j`` for the first ``cap`` slots.
+
+    Args:
+      occ: ``[N]`` int32 kept-item counts per row (0 for dropped rows).
+      cap: static output capacity.
+
+    Returns ``(n_i, j_i, n_items)``: for each output slot ``p`` in
+    ``[cap]``, its source row ``n_i[p]`` and within-row item ``j_i[p]``
+    (both int32, clipped to valid ranges for slots past the end — slot
+    validity is positional: ``p < min(n_items, cap)``), plus the total
+    item count ``n_items`` (``> cap`` means overflow; callers must
+    branch to an exact fallback or retry with a larger cap).
+    """
+    n = occ.shape[0]
+    cbase = jnp.cumsum(occ)  # inclusive cumsum, [N]
+    n_items = cbase[-1]
+    basex = cbase - occ  # exclusive base: row n owns [basex, basex + occ)
+    piota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+    steps = max(1, int(math.ceil(math.log2(n + 1))))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        go_right = basex[mid] <= piota
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo0 = jnp.zeros((cap,), jnp.int32)
+    hi0 = jnp.full((cap,), n, jnp.int32)
+    last_le, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
+    n_i = jnp.clip(last_le - 1, 0, n - 1)
+    j_i = piota - basex[n_i]
+    return n_i, j_i, n_items

@@ -146,13 +146,22 @@ def _count_eqmm(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
     return counts + cgrid.reshape(Fp)[:F]
 
 
-# Prefilter compaction geometry: queries reshape to [R, _PREF_COLS] rows;
-# up to _PREF_CAP threshold-survivors kept per row via top_k. Overflowing
-# rows trigger the exact in-jit fallback branch (lax.cond), so the result
-# is always exact regardless of input skew (e.g. low-complexity poly-A
-# runs hashing to one repeated surviving value).
+# Prefilter survivor capacity: expected survivors are ~q_len * t/2^64
+# (t/2^64 ~= sketch_size/genome_len, ~0.01-0.3% for real Mash DBs), so a
+# cap of max(4096, n/512) carries >=10x headroom at bench scale while
+# keeping the survivor binary search negligible. Overflow triggers the
+# exact in-jit fallback branch (lax.cond), so the result is always exact
+# regardless of input skew (e.g. low-complexity poly-A runs hashing to
+# one repeated surviving value).
+_PREF_CAP_FLOOR = 4096
+_PREF_CAP_SHIFT = 9  # cap grows as n >> 9 past the floor
+# legacy per-row top_k compaction geometry (HYMET_PREF_TOPK=1)
 _PREF_COLS = 4096
 _PREF_CAP = 16
+
+
+def _pref_cap(n: int) -> int:
+    return min(n, max(_PREF_CAP_FLOOR, n >> _PREF_CAP_SHIFT))
 
 
 def _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
@@ -166,19 +175,23 @@ def _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
     search:
 
       1. survivor mask: (q <= t) & valid (VPU, one pass),
-      2. compact survivors with a per-row top_k over [R, _PREF_COLS]
-         (key = ~hi_limb; survivor keys strictly dominate the zero key
-         of non-survivors while t's hi limb < 2^32-1),
-      3. binary-search count only the R*_PREF_CAP compacted candidates
-         (~256x fewer gathers than searching the full stream).
+      2. compact survivors densely into [cap] slots by destination-map
+         inversion (``ops/compaction.slot_compact_indices``: cumsum +
+         one branchless binary search — no sort, no top_k, and the cap
+         is global rather than per-row so clustered survivors don't
+         overflow early),
+      3. binary-search count only the compacted candidates (~512x fewer
+         gathers than searching the full stream).
 
-    If any row holds more than _PREF_CAP survivors — or the DB is so
-    dense that t's hi limb saturates (toy DBs sketching every k-mer) —
-    a lax.cond falls back to the full-stream formulation in-jit, so the
-    counts match _count_binsearch exactly in every case. Pad sentinels
-    (all-ones) in sharded flat arrays are excluded from the threshold;
-    like the other formulations, a real DB hash of exactly 2^64-1 (a
-    2^-64 event) would be treated as pad and never counted.
+    If more than cap hashes survive — or the DB is so dense that t's hi
+    limb saturates (toy DBs sketching every k-mer) — a lax.cond falls
+    back to the full-stream formulation in-jit, so the counts match
+    _count_binsearch exactly in every case. HYMET_PREF_TOPK=1 selects
+    the legacy per-row top_k compaction ([R, 4096] rows, 16/row) for
+    on-chip A/B. Pad sentinels (all-ones) in sharded flat arrays are
+    excluded from the threshold; like the other formulations, a real DB
+    hash of exactly 2^64-1 (a 2^-64 event) would be treated as pad and
+    never counted.
     """
     F = db_hi.shape[0]
     U = jnp.uint32(0xFFFFFFFF)
@@ -194,23 +207,36 @@ def _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
         & ((q_hi < t_hi) | ((q_hi == t_hi) & (q_lo <= t_lo)))
     )
     n = q_hi.shape[0]
-    C = min(_PREF_COLS, n)
-    R = -(-n // C)
-    npad = R * C
-    if npad != n:
-        q_hi = jnp.concatenate([q_hi, jnp.zeros(npad - n, q_hi.dtype)])
-        q_lo = jnp.concatenate([q_lo, jnp.zeros(npad - n, q_lo.dtype)])
-        surv = jnp.concatenate([surv, jnp.zeros(npad - n, bool)])
-    cap = min(_PREF_CAP, C)
-    key = jnp.where(surv, ~q_hi, jnp.uint32(0))
-    key = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
-    _, idx = jax.lax.top_k(key.reshape(R, C), cap)  # [R, cap]
-    gidx = (idx + (jnp.arange(R, dtype=jnp.int32) * C)[:, None]).reshape(-1)
-    s_hi = jnp.take(q_hi, gidx)
-    s_lo = jnp.take(q_lo, gidx)
-    s_v = jnp.take(surv, gidx)
-    row_surv = jnp.sum(surv.reshape(R, C).astype(jnp.int32), axis=1)
-    ok = jnp.all(row_surv <= cap) & (t_hi < U)
+    if os.environ.get("HYMET_PREF_TOPK") == "1":
+        C = min(_PREF_COLS, n)
+        R = -(-n // C)
+        npad = R * C
+        if npad != n:
+            q_hi = jnp.concatenate([q_hi, jnp.zeros(npad - n, q_hi.dtype)])
+            q_lo = jnp.concatenate([q_lo, jnp.zeros(npad - n, q_lo.dtype)])
+            surv = jnp.concatenate([surv, jnp.zeros(npad - n, bool)])
+        cap = min(_PREF_CAP, C)
+        key = jnp.where(surv, ~q_hi, jnp.uint32(0))
+        key = jax.lax.bitcast_convert_type(
+            key ^ jnp.uint32(0x80000000), jnp.int32
+        )
+        _, idx = jax.lax.top_k(key.reshape(R, C), cap)  # [R, cap]
+        gidx = (idx + (jnp.arange(R, dtype=jnp.int32) * C)[:, None]).reshape(-1)
+        s_hi = jnp.take(q_hi, gidx)
+        s_lo = jnp.take(q_lo, gidx)
+        s_v = jnp.take(surv, gidx)
+        row_surv = jnp.sum(surv.reshape(R, C).astype(jnp.int32), axis=1)
+        ok = jnp.all(row_surv <= cap) & (t_hi < U)
+    else:
+        from hymet_tpu.ops.compaction import slot_compact_indices
+
+        cap = _pref_cap(n)
+        n_i, _, n_surv = slot_compact_indices(surv.astype(jnp.int32), cap)
+        s_hi = q_hi[n_i]
+        s_lo = q_lo[n_i]
+        piota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+        s_v = piota < jnp.minimum(n_surv, cap)
+        ok = (n_surv <= cap) & (t_hi < U)
 
     def fast(c):
         return _count_binsearch(db_hi, db_lo, c, s_hi, s_lo, s_v)

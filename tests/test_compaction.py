@@ -1,0 +1,48 @@
+"""Unit tests for ops/compaction.py — the sort-free slot compaction
+shared by the aligner's anchor expansion and the screen prefilter."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hymet_tpu.ops.compaction import slot_compact_indices
+
+
+def _oracle(occ: np.ndarray, cap: int):
+    """Row-major dense enumeration of (row, item) pairs."""
+    pairs = [(n, j) for n, c in enumerate(occ) for j in range(int(c))]
+    return pairs[:cap], len(pairs)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("max_occ", [1, 4, 17])
+def test_slot_compact_matches_enumeration(seed, max_occ):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 4000))
+    occ = rng.integers(0, max_occ + 1, n).astype(np.int32)
+    # sprinkle long zero runs (dropped rows collapse onto one base)
+    occ[rng.random(n) < 0.6] = 0
+    cap = int(rng.integers(1, max(2, int(occ.sum()) * 2)))
+    n_i, j_i, total = slot_compact_indices(jnp.asarray(occ), cap)
+    pairs, n_items = _oracle(occ, cap)
+    assert int(total) == n_items
+    got = list(zip(np.asarray(n_i).tolist(), np.asarray(j_i).tolist()))
+    assert got[: len(pairs)] == pairs
+
+
+@pytest.mark.parametrize(
+    "occ,cap",
+    [
+        ([0, 0, 0], 4),  # nothing kept
+        ([3], 2),  # overflow: total > cap
+        ([0, 2, 0, 0, 1], 8),  # trailing/leading zero runs
+        ([1] * 5, 5),  # exact fit
+    ],
+)
+def test_slot_compact_edges(occ, cap):
+    occ = np.asarray(occ, np.int32)
+    n_i, j_i, total = slot_compact_indices(jnp.asarray(occ), cap)
+    pairs, n_items = _oracle(occ, cap)
+    assert int(total) == n_items
+    got = list(zip(np.asarray(n_i).tolist(), np.asarray(j_i).tolist()))
+    assert got[: len(pairs)] == pairs

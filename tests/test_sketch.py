@@ -205,15 +205,30 @@ def test_binom_sf_vs_scipy():
         assert ours == pytest.approx(ref, rel=1e-9, abs=1e-300), (x, n, p)
 
 
+@pytest.mark.parametrize("compaction", ["slot", "topk"])
 @pytest.mark.parametrize(
     "case",
-    ["bottom_fast", "uniform_fallback", "repeat_overflow", "padded_shard", "all_pad"],
+    [
+        "bottom_fast",
+        "clustered_fast",
+        "uniform_fallback",
+        "repeat_overflow",
+        "padded_shard",
+        "all_pad",
+    ],
 )
-def test_count_prefilter_matches_binsearch(case):
+def test_count_prefilter_matches_binsearch(case, compaction, monkeypatch):
     """The bottom-sketch prefilter count (TPU default; see
     _count_prefilter) must equal the binary-search formulation exactly in
-    both its fast path and every fallback regime."""
+    both its fast path and every fallback regime, under both survivor
+    compactions (slot = destination-map inversion default, topk = the
+    legacy per-row top_k kept for on-chip A/B)."""
     from hymet_tpu.ops.sketch import _count_impl
+
+    if compaction == "topk":
+        monkeypatch.setenv("HYMET_PREF_TOPK", "1")
+    else:
+        monkeypatch.delenv("HYMET_PREF_TOPK", raising=False)
 
     rng = np.random.default_rng(23)
     F, n = 32768, 300000
@@ -222,6 +237,13 @@ def test_count_prefilter_matches_binsearch(case):
         db = small
         q = rng.integers(0, 1 << 64, n, dtype=np.uint64)
         q[:3000] = rng.choice(db, 3000)
+    elif case == "clustered_fast":
+        # ~3500 survivors packed into one contiguous run: stays inside
+        # the slot compaction's global cap (fast path) while overflowing
+        # the legacy per-row top_k cap (fallback path) — both exact
+        db = small
+        q = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+        q[100000:103500] = rng.choice(db, 3500)
     elif case == "uniform_fallback":
         # threshold ~ 2^64: nearly everything survives -> overflow branch
         db = np.unique(rng.integers(0, 1 << 64, F * 2, dtype=np.uint64))[:F]
