@@ -83,6 +83,28 @@ def _init_jax():
     apply_platform_override()
     enable_compile_cache()
     try:
+        # a dead tunnel still fails a jax dial, but only after ~25 min;
+        # its terminal leg (:8083) refuses a TCP connect in milliseconds.
+        # After one real dial failure, gate every retry's dial on that
+        # probe (first attempts always dial, so non-tunnel TPU hosts —
+        # where no :8083 exists — are unaffected).
+        if (
+            int(os.environ.get("_BENCH_DIAL_ATTEMPT", "0")) > 0
+            and os.environ.get("HYMET_PLATFORM", "") != "cpu"
+        ):
+            import socket
+
+            s = socket.socket()
+            s.settimeout(3)
+            try:
+                s.connect(("127.0.0.1", 8083))
+            except OSError as pe:
+                raise RuntimeError(
+                    f"tunnel terminal port 8083 unreachable ({pe}); "
+                    "skipping the 25-min dial"
+                ) from pe
+            finally:
+                s.close()
         dev = jax.devices()[0]
     except RuntimeError as e:
         # The axon tunnel self-terminates a dial after ~25 min with
@@ -90,9 +112,23 @@ def _init_jax():
         # (outages last hours). jax caches the failure in-process, so the
         # retry must be a clean re-exec of this script.
         attempt = int(os.environ.get("_BENCH_DIAL_ATTEMPT", "0"))
-        retries = int(os.environ.get("BENCH_DIAL_RETRIES", "2"))
+        retries = int(os.environ.get("BENCH_DIAL_RETRIES", "4"))
         log(f"backend init failed (attempt {attempt + 1}/{retries + 1}): {e}")
         if attempt >= retries:
+            # Last resort: a disclosed CPU-backend measurement beats an
+            # empty record when the tunnel outage outlives the retries
+            # (observed 6+ h outages). The emitted metric name gets a
+            # "_cpu_fallback" suffix so the number can never be read as
+            # a TPU result. BENCH_CPU_FALLBACK=0 disables.
+            if (
+                os.environ.get("BENCH_CPU_FALLBACK", "1") == "1"
+                and os.environ.get("_BENCH_CPU_FALLBACK") != "1"
+            ):
+                log("dial retries exhausted; falling back to CPU backend")
+                os.environ["_BENCH_CPU_FALLBACK"] = "1"
+                os.environ["HYMET_PLATFORM"] = "cpu"
+                os.environ.pop("_BENCH_DIAL_ATTEMPT", None)
+                os.execv(sys.executable, [sys.executable] + sys.argv)
             raise
         time.sleep(180)
         os.environ["_BENCH_DIAL_ATTEMPT"] = str(attempt + 1)
@@ -496,6 +532,114 @@ def bench_align() -> dict:
 
 
 # ----------------------------------------------------------------------
+# align_stages mode: marginal per-stage cost of the fused align program.
+# Compiles truncated prefixes of the SAME program (stage static arg:
+# 1 extract, 2 minimizer compaction, 3 index search, 4 anchor collect,
+# 5 anchor sort, 0 full) and times each; consecutive deltas attribute
+# wall time to each stage — the profiling we can do without xprof
+# tooling on the tunnel. Each prefix is a fresh (cached) compile.
+
+
+def bench_align_stages() -> dict:
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    from hymet_tpu.io.fasta import encode_seq, iter_fasta
+    from hymet_tpu.io.minimizer_index import MinimizerIndex
+    from hymet_tpu.models.aligner import MinimizerAligner, _extract_chains_fused
+
+    genomes = sorted(glob.glob(GENOME_GLOB))
+    if not genomes:
+        raise SystemExit("reference Zymo genomes not found")
+    named = []
+    for g in genomes:
+        for n, s in iter_fasta(g):
+            named.append((n.split()[0], s))
+    index = MinimizerIndex.build(named)
+    aligner = MinimizerAligner(index)
+    log(f"index {index.n_minimizers:,} minimizers")
+
+    rng = np.random.default_rng(3)
+    src = np.frombuffer(max((s for _, s in named), key=len), np.uint8)
+    rows = int(os.environ.get("BENCH_ALIGN_ROWS", "64"))
+    pad = int(os.environ.get("BENCH_ALIGN_PAD", str(1 << 16)))
+    b = np.full((rows, pad), 4, np.uint8)
+    for i in range(rows):
+        st = int(rng.integers(0, len(src) - pad))
+        frag = np.frombuffer(
+            encode_seq(src[st : st + pad].tobytes()), np.uint8
+        ).copy()
+        mut = rng.random(frag.size) < 0.02
+        frag[mut] = rng.integers(0, 4, int(mut.sum()), dtype=np.uint8)
+        b[i] = frag
+    batch_dev = jnp.asarray(b)
+    jax.block_until_ready(batch_dev)
+
+    NW, cap = aligner._minimizer_cap(rows, pad)
+    acap, ccap = aligner._device_caps(rows, NW, cap)
+    cfg = aligner.cfg
+    args = (
+        aligner._idx_hi,
+        aligner._idx_lo,
+        aligner._idx_seq,
+        aligner._idx_pos,
+        aligner._idx_strand,
+        batch_dev,
+        index.k,
+        index.w,
+        cfg.max_occ,
+        cfg.band_bits,
+        cap,
+        acap,
+        ccap,
+        cfg.min_cnt,
+        cfg.min_mlen,
+    )
+    kw = dict(
+        bkt_off=aligner._bkt_off,
+        bkt_bits=aligner._bkt_bits,
+        bkt_steps=aligner._bkt_steps,
+        bsearch=True,
+    )
+    stages = [
+        (1, "extract"),
+        (2, "min_compact"),
+        (3, "search"),
+        (4, "anchor_collect"),
+        (5, "anchor_sort"),
+        (0, "full"),
+    ]
+    best: dict = {}
+    for stage, name in stages:
+        t0 = time.time()
+        out = _extract_chains_fused(*args, stage=stage, **kw)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # forced readback
+        log(f"stage {name}: warmup (compile) {time.time() - t0:.1f}s")
+        times = []
+        for _ in range(6):
+            t0 = time.time()
+            out = _extract_chains_fused(*args, stage=stage, **kw)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            times.append(time.time() - t0)
+        best[name] = min(times)
+        log(f"stage {name}: best {best[name]:.4f}s over {len(times)}")
+    prev = 0.0
+    for _, name in stages:
+        log(
+            f"marginal {name}: {best[name] - prev:+.4f}s "
+            f"(cumulative {best[name]:.4f}s)"
+        )
+        prev = best[name]
+    bp = rows * pad
+    return {
+        "metric": "align_stages_full_s_per_batch",
+        "value": round(best["full"], 4),
+        "unit": f"s per {bp / 1e6:.1f} Mbp batch",
+        "vs_baseline": round((bp / best["full"] / 1e9) / 0.0056, 2),
+    }
+
+
+# ----------------------------------------------------------------------
 # sketch_large mode: F ~ 1e8 flat hashes (the ~45 GB RefSeq sketch-DB
 # scale, reference bench/README.md:45) — validates HBM sizing and the
 # prefilter count's throughput at real DB size (VERDICT r1 missing #3)
@@ -595,10 +739,14 @@ def main() -> None:
             result = bench_sketch_large()
         elif mode == "align":
             result = bench_align()
+        elif mode == "align_stages":
+            result = bench_align_stages()
         else:
             result = bench_pipeline()
     finally:
         sys.stdout = real_stdout
+    if os.environ.get("_BENCH_CPU_FALLBACK") == "1":
+        result["metric"] += "_cpu_fallback"
     print(json.dumps(result))
 
 

@@ -67,6 +67,15 @@ _SEQ_BITS = 26
 _KEY_BIG = 0xFFFFFFFF
 
 
+def _cksum(x):
+    """Position-weighted mod-2^32 checksum: consumes every element at its
+    position, so XLA cannot DCE or reorder the producing op (plain sums
+    would let a sort be elided). Bench-ablation use only (stage kwarg)."""
+    xf = x.reshape(-1).astype(jnp.uint32)
+    w = jax.lax.broadcasted_iota(jnp.uint32, (xf.shape[0], 1), 0).squeeze(-1)
+    return (jnp.sum(xf * (w | jnp.uint32(1))),)
+
+
 @dataclass
 class AlignerConfig:
     max_occ: int = 16  # drop minimizers with more index occurrences (repetitive)
@@ -300,6 +309,7 @@ def _collect_anchors_slots(
     bkt_bits: int = 0,
     bkt_steps: int = 0,
     bsearch: bool = True,
+    stage: int = 0,
 ):
     """Anchor collection via SLOT compaction: the [N, max_occ] occurrence
     grid is ~90% padding (typical occurrence is 1-3), and both gathering
@@ -332,6 +342,8 @@ def _collect_anchors_slots(
     left, occ = _search_occ(
         idx_hi, idx_lo, q_hi, q_lo, bkt_off, bkt_bits, bkt_steps
     )
+    if stage == 3:  # bench ablation: index search only (see bench.py)
+        return _cksum(left) + _cksum(occ)
     keep = q_valid & (occ > 0) & (occ <= max_occ)
     occk = jnp.where(keep, occ, 0)
     N = q_hi.shape[0]
@@ -371,11 +383,15 @@ def _collect_anchors_slots(
         big,
     )
     k2 = jnp.where(avalid, sb, big)
+    if stage == 4:  # pre-sort anchors (keys built, nothing sorted)
+        return _cksum(k1) + _cksum(k2) + _cksum(aqpos) + _cksum(rpos)
     s_k1, s_k2, s_p, s_r = jax.lax.sort(
         (k1, k2, aqpos.astype(jnp.uint32), rpos.astype(jnp.uint32)),
         dimension=0,
         num_keys=2,
     )
+    if stage == 5:  # sorted anchors (position-weighted: sort not elidable)
+        return _cksum(s_k1) + _cksum(s_k2) + _cksum(s_p) + _cksum(s_r)
     return s_k1, s_k2, s_p, s_r, n_anchors
 
 
@@ -473,6 +489,7 @@ def _extract_chains_impl(
     bkt_bits: int = 0,
     bkt_steps: int = 0,
     bsearch: bool = True,
+    stage: int = 0,
 ):
     """Whole aligner device path as ONE program: minimizer extraction ->
     argsort+gather compaction -> bucketed anchor search -> slot
@@ -485,6 +502,8 @@ def _extract_chains_impl(
     m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(batch, k, w)
     B, NW = m_hi.shape
     assert B <= 64, "packed k1 key layout requires <= 64 query rows"
+    if stage == 1:  # bench ablation: extraction only
+        return _cksum(m_hi) + _cksum(m_lo) + _cksum(m_keep)
     not_keep = (~m_keep).reshape(-1).astype(jnp.uint32)
     fiota = jax.lax.broadcasted_iota(jnp.int32, (B * NW, 1), 0).squeeze(-1)
     # argsort+gather compaction: only (flag, iota) ride the sort; the
@@ -494,7 +513,9 @@ def _extract_chains_impl(
     n_kept = jnp.sum(m_keep.astype(jnp.int32))
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     valid = iota < n_kept
-    s_k1, s_k2, s_p, s_r, n_anchors = _collect_anchors_slots(
+    if stage == 2:  # + minimizer compaction (sort + gathers)
+        return _cksum(m_hi.reshape(-1)[sel]) + _cksum(sel) + (n_kept,)
+    collected = _collect_anchors_slots(
         idx_hi,
         idx_lo,
         idx_seq,
@@ -513,7 +534,11 @@ def _extract_chains_impl(
         bkt_bits,
         bkt_steps,
         bsearch,
+        stage,
     )
+    if stage in (3, 4, 5):  # checksum tuple from the truncated collector
+        return collected
+    s_k1, s_k2, s_p, s_r, n_anchors = collected
     chains, n_chains = _chain_reduce_sorted(
         s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap
     )
@@ -533,6 +558,7 @@ _FUSED_STATICS = (
     "bkt_bits",
     "bkt_steps",
     "bsearch",
+    "stage",
 )
 
 _extract_chains_fused = functools.partial(
@@ -563,6 +589,7 @@ def _extract_chains_fused_packed(
     bkt_bits: int = 0,
     bkt_steps: int = 0,
     bsearch: bool = True,
+    stage: int = 0,
 ):
     """:func:`_extract_chains_impl` on a 2-bit packed batch — 0.375
     bytes/base across the host->device link instead of 1 (the link is
@@ -592,6 +619,7 @@ def _extract_chains_fused_packed(
         bkt_bits,
         bkt_steps,
         bsearch,
+        stage,
     )
 
 
@@ -773,10 +801,7 @@ class MinimizerAligner:
             packed, mask, B, L = batch
         else:
             B, L = batch.shape
-        NW = L - k - self.index.w + 2
-        # on-device compaction cap: minimizer density ~2/(w+1) => NW/4 is
-        # ~2.5x headroom; power-of-two for compile-cache stability
-        cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
+        NW, cap = self._minimizer_cap(B, L)
 
         if not packed_in and os.environ.get("HYMET_HOST_CHAINS", "1") == "1":
             batch_j = batch if hasattr(batch, "devices") else jnp.asarray(batch)
@@ -810,17 +835,30 @@ class MinimizerAligner:
             else:
                 batch_j = batch  # already on device: no transfer to save
         data_args = (packed, mask, L) if packed_in else (batch_j,)
-        # anchor cap from the index's occurrence stats: expected anchors
-        # = windows x minimizer density (~2/(w+1) ~ 0.11) x E[occ], with
-        # 1.5x headroom, pow2-rounded for compile-cache stability, never
-        # above the 4*cap grid bound; sticky boosts absorb misestimates
-        # (one retry recompile, then never again for this aligner)
+        acap, ccap = self._device_caps(B, NW, cap)
+        outs = self._dispatch_fused(data_args, cap, acap, ccap)
+        return ("dev", cap, acap, ccap, data_args, outs)
+
+    def _minimizer_cap(self, B: int, L: int):
+        """(window count, minimizer compaction cap) for a [B, L] batch:
+        minimizer density ~2/(w+1) => NW/4 is ~2.5x headroom;
+        power-of-two for compile-cache stability."""
+        NW = L - self.index.k - self.index.w + 2
+        cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
+        return NW, cap
+
+    def _device_caps(self, B: int, NW: int, cap: int):
+        """Anchor/chain caps for the fused device path. Anchor cap from
+        the index's occurrence stats: expected anchors = windows x
+        minimizer density (~2/(w+1) ~ 0.11) x E[occ], with 1.5x headroom,
+        pow2-rounded for compile-cache stability, never above the 4*cap
+        grid bound; sticky boosts absorb misestimates (one retry
+        recompile, then never again for this aligner)."""
         exp_anchors = B * NW * 0.11 * self._exp_occ
         acap = min(_round_pow2(1.5 * exp_anchors, 2048), 4 * cap)
         acap *= self._acap_boost
         ccap = max(1024, min(4 * cap, 1 << 15)) * self._ccap_boost
-        outs = self._dispatch_fused(data_args, cap, acap, ccap)
-        return ("dev", cap, acap, ccap, data_args, outs)
+        return acap, ccap
 
     def _dispatch_fused(self, data_args, cap: int, acap: int, ccap: int):
         cfg = self.cfg
