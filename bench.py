@@ -599,8 +599,11 @@ def bench_align_stages() -> dict:
         bkt_off=aligner._bkt_off,
         bkt_bits=aligner._bkt_bits,
         bkt_steps=aligner._bkt_steps,
-        bsearch=True,
+        bsearch=os.environ.get("HYMET_SLOT_BSEARCH", "1") == "1",
+        min_bsearch=os.environ.get("HYMET_MIN_BSEARCH", "0") == "1",
     )
+    if os.environ.get("HYMET_FLAT_BAND", "0") == "1":
+        kw["fb_base2"] = aligner._fb_tables(pad)
     stages = [
         (1, "extract"),
         (2, "min_compact"),

@@ -310,6 +310,7 @@ def _collect_anchors_slots(
     bkt_steps: int = 0,
     bsearch: bool = True,
     stage: int = 0,
+    fb_base2=None,
 ):
     """Anchor collection via SLOT compaction: the [N, max_occ] occurrence
     grid is ~90% padding (typical occurrence is 1-3), and both gathering
@@ -373,10 +374,35 @@ def _collect_anchors_slots(
     aqpos = qpos[n_i]
     rel = (qstrand[n_i] ^ rstrand) & 1
     diag = jnp.where(rel == 0, rpos - aqpos, rpos + aqpos)
-    band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
-    sb = (rel.astype(jnp.uint32) << 24) | band
 
     big = jnp.uint32(_KEY_BIG)
+    if fb_base2 is not None:
+        # flat-band single-key layout (HYMET_FLAT_BAND=1): the global
+        # band is computed EXACTLY as in the 2-key path (same bucket
+        # boundaries -> same chains, byte-equal), then rebased into the
+        # anchor's (seq, strand) block: flat = fb_adj[blk] + band, with
+        # fb_adj = block_base - per-block minimum band precomputed on
+        # host. The sort drops to ONE key word; every chain-break
+        # condition becomes a single key delta
+        # (see _chain_reduce_sorted_flat).
+        fb_adj, _ = fb_base2
+        gband = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.int32)
+        blk = (seq.astype(jnp.int32) << 1) | rel
+        flat = (fb_adj[blk] + gband).astype(jnp.uint32)
+        key = jnp.where(
+            avalid, (qid[n_i].astype(jnp.uint32) << _SEQ_BITS) | flat, big
+        )
+        if stage == 4:
+            return _cksum(key) + _cksum(aqpos) + _cksum(rpos)
+        s_key, aperm = jax.lax.sort((key, aiota), dimension=0, num_keys=1)
+        s_p = aqpos.astype(jnp.uint32)[aperm]
+        s_r = rpos.astype(jnp.uint32)[aperm]
+        if stage == 5:
+            return _cksum(s_key) + _cksum(s_p) + _cksum(s_r)
+        return s_key, s_p, s_r, n_anchors
+
+    band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
+    sb = (rel.astype(jnp.uint32) << 24) | band
     k1 = jnp.where(
         avalid,
         (qid[n_i].astype(jnp.uint32) << _SEQ_BITS) | seq.astype(jnp.uint32),
@@ -385,11 +411,13 @@ def _collect_anchors_slots(
     k2 = jnp.where(avalid, sb, big)
     if stage == 4:  # pre-sort anchors (keys built, nothing sorted)
         return _cksum(k1) + _cksum(k2) + _cksum(aqpos) + _cksum(rpos)
-    s_k1, s_k2, s_p, s_r = jax.lax.sort(
-        (k1, k2, aqpos.astype(jnp.uint32), rpos.astype(jnp.uint32)),
-        dimension=0,
-        num_keys=2,
-    )
+    # sort discipline: only (k1, k2, iota) ride the sort — the payload
+    # columns gather at the sorted positions afterwards (lax.sort is
+    # stable, so the permutation — and every downstream byte — matches
+    # the old 4-operand form that dragged qpos/rpos through every pass)
+    s_k1, s_k2, aperm = jax.lax.sort((k1, k2, aiota), dimension=0, num_keys=2)
+    s_p = aqpos.astype(jnp.uint32)[aperm]
+    s_r = rpos.astype(jnp.uint32)[aperm]
     if stage == 5:  # sorted anchors (position-weighted: sort not elidable)
         return _cksum(s_k1) + _cksum(s_k2) + _cksum(s_p) + _cksum(s_r)
     return s_k1, s_k2, s_p, s_r, n_anchors
@@ -469,6 +497,83 @@ def _chain_reduce_sorted(
     return out, n_chains
 
 
+def _chain_reduce_sorted_flat(
+    s_key, s_p, s_r, fb_dec, k: int, min_cnt: int, min_mlen: int, ccap: int
+):
+    """:func:`_chain_reduce_sorted` for the flat-band single-key layout
+    (``HYMET_FLAT_BAND=1``): key = qid << 26 | flat, where ``flat`` is a
+    per-(seq, strand) block base plus the local diagonal band, blocks
+    separated by >= 2 guard slots. One uint32 delta therefore encodes
+    every break condition at once: same chain <=> key delta <= 1 (equal
+    band or +-1-band merge; any seq/strand/query change jumps past the
+    guard gap). Scans and compaction are identical to the 2-key form;
+    seq/strand decode back out of the ccap surviving rows by one binary
+    search over the block-base table."""
+    A = s_key.shape[0]
+    big = jnp.uint32(_KEY_BIG)
+    valid = s_key != big
+    same = (s_key[1:] - s_key[:-1]) <= 1
+    start = jnp.concatenate([jnp.ones((1,), bool), ~same])
+    iota = jnp.arange(A, dtype=jnp.int32)
+
+    def comb(x, y):
+        fx, mnqx, mxqx, mnrx, mxrx = x
+        fy, mnqy, mxqy, mnry, mxry = y
+        return (
+            fx | fy,
+            jnp.where(fy, mnqy, jnp.minimum(mnqx, mnqy)),
+            jnp.where(fy, mxqy, jnp.maximum(mxqx, mxqy)),
+            jnp.where(fy, mnry, jnp.minimum(mnrx, mnry)),
+            jnp.where(fy, mxry, jnp.maximum(mxrx, mxry)),
+        )
+
+    _, minq, maxq, minr, maxr = jax.lax.associative_scan(
+        comb, (start, s_p, s_p, s_r, s_r)
+    )
+    start_idx = jax.lax.cummax(jnp.where(start, iota, 0))
+    cnt = iota - start_idx + 1
+    is_end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
+    span_q = (maxq - minq).astype(jnp.int32) + k
+    mlen = jnp.minimum(cnt * k, span_q)
+    good = is_end & valid & (cnt >= min_cnt) & (mlen >= min_mlen)
+    n_chains = jnp.sum(good.astype(jnp.int32))
+    not_good = (~good).astype(jnp.uint32)
+    _, cperm = jax.lax.sort((not_good, iota), dimension=0, num_keys=1)
+    cs = cperm[:ccap]
+    g_key = s_key[cs]
+    flat = (g_key & jnp.uint32((1 << _SEQ_BITS) - 1)).astype(jnp.int32)
+    # block decode: last block with base <= flat (blocks interleave
+    # (seq, strand) as idx = seq << 1 | rel)
+    nb = fb_dec.shape[0]
+    steps = max(1, int(math.ceil(math.log2(nb + 1))))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        go_right = fb_dec[mid] <= flat
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    cw = cs.shape[0]  # min(A, ccap): the [:ccap] slice clamps when A < ccap
+    lo0 = jnp.zeros((cw,), jnp.int32)
+    hi0 = jnp.full((cw,), nb, jnp.int32)
+    last_le, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
+    blk = jnp.clip(last_le - 1, 0, nb - 1).astype(jnp.uint32)
+    out = jnp.stack(
+        [
+            g_key >> _SEQ_BITS,
+            blk >> 1,
+            blk & jnp.uint32(1),
+            cnt[cs].astype(jnp.uint32),
+            minq[cs],
+            maxq[cs],
+            minr[cs],
+            maxr[cs],
+        ],
+        axis=-1,
+    )
+    return out, n_chains
+
+
 def _extract_chains_impl(
     idx_hi,
     idx_lo,
@@ -490,6 +595,8 @@ def _extract_chains_impl(
     bkt_steps: int = 0,
     bsearch: bool = True,
     stage: int = 0,
+    min_bsearch: bool = False,
+    fb_base2=None,
 ):
     """Whole aligner device path as ONE program: minimizer extraction ->
     argsort+gather compaction -> bucketed anchor search -> slot
@@ -504,13 +611,23 @@ def _extract_chains_impl(
     assert B <= 64, "packed k1 key layout requires <= 64 query rows"
     if stage == 1:  # bench ablation: extraction only
         return _cksum(m_hi) + _cksum(m_lo) + _cksum(m_keep)
-    not_keep = (~m_keep).reshape(-1).astype(jnp.uint32)
-    fiota = jax.lax.broadcasted_iota(jnp.int32, (B * NW, 1), 0).squeeze(-1)
-    # argsort+gather compaction: only (flag, iota) ride the sort; the
-    # minimizer columns gather at the cap surviving positions
-    _, perm = jax.lax.sort((not_keep, fiota), dimension=0, num_keys=1)
-    sel = perm[:cap]
-    n_kept = jnp.sum(m_keep.astype(jnp.int32))
+    if min_bsearch:
+        # destination-map inversion (occ is 0/1 per window slot): no
+        # O(B*NW) sort at all. Valid slots land identically to the sort
+        # path (row-major); PAD slots differ (clamped vs first-invalid)
+        # but every consumer masks them via `valid`, so chain rows are
+        # byte-identical (pinned by test_min_bsearch_matches_sort).
+        sel, _, n_kept = slot_compact_indices(
+            m_keep.reshape(-1).astype(jnp.int32), cap
+        )
+    else:
+        not_keep = (~m_keep).reshape(-1).astype(jnp.uint32)
+        fiota = jax.lax.broadcasted_iota(jnp.int32, (B * NW, 1), 0).squeeze(-1)
+        # argsort+gather compaction: only (flag, iota) ride the sort; the
+        # minimizer columns gather at the cap surviving positions
+        _, perm = jax.lax.sort((not_keep, fiota), dimension=0, num_keys=1)
+        sel = perm[:cap]
+        n_kept = jnp.sum(m_keep.astype(jnp.int32))
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     valid = iota < n_kept
     if stage == 2:  # + minimizer compaction (sort + gathers)
@@ -535,13 +652,20 @@ def _extract_chains_impl(
         bkt_steps,
         bsearch,
         stage,
+        fb_base2,
     )
     if stage in (3, 4, 5):  # checksum tuple from the truncated collector
         return collected
-    s_k1, s_k2, s_p, s_r, n_anchors = collected
-    chains, n_chains = _chain_reduce_sorted(
-        s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap
-    )
+    if fb_base2 is not None:
+        s_key, s_p, s_r, n_anchors = collected
+        chains, n_chains = _chain_reduce_sorted_flat(
+            s_key, s_p, s_r, fb_base2[1], k, min_cnt, min_mlen, ccap
+        )
+    else:
+        s_k1, s_k2, s_p, s_r, n_anchors = collected
+        chains, n_chains = _chain_reduce_sorted(
+            s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap
+        )
     return chains, n_chains, n_kept, n_anchors
 
 
@@ -559,6 +683,7 @@ _FUSED_STATICS = (
     "bkt_steps",
     "bsearch",
     "stage",
+    "min_bsearch",
 )
 
 _extract_chains_fused = functools.partial(
@@ -590,6 +715,8 @@ def _extract_chains_fused_packed(
     bkt_steps: int = 0,
     bsearch: bool = True,
     stage: int = 0,
+    min_bsearch: bool = False,
+    fb_base2=None,
 ):
     """:func:`_extract_chains_impl` on a 2-bit packed batch — 0.375
     bytes/base across the host->device link instead of 1 (the link is
@@ -620,6 +747,8 @@ def _extract_chains_fused_packed(
         bkt_steps,
         bsearch,
         stage,
+        min_bsearch,
+        fb_base2,
     )
 
 
@@ -688,6 +817,7 @@ class MinimizerAligner:
         # sticky overflow-retry multipliers (see _finish_batch)
         self._acap_boost = 1
         self._ccap_boost = 1
+        self._fb_cache: dict = {}  # padded L -> flat-band tables (or None)
         self._exp_occ = expected_anchor_occ(index.hashes, self.cfg.max_occ)
 
     # ------------------------------------------------------------------
@@ -860,6 +990,43 @@ class MinimizerAligner:
         ccap = max(1024, min(4 * cap, 1 << 15)) * self._ccap_boost
         return acap, ccap
 
+    def _fb_tables(self, L: int):
+        """(encode, decode) device tables for the flat-band single-key
+        anchor sort (HYMET_FLAT_BAND=1), cached per padded query length.
+
+        Blocks interleave (seq, strand) as blk = seq << 1 | rel; block
+        band ranges use the 2-key path's GLOBAL band values (same bucket
+        boundaries -> byte-identical chains): rel=0 diagonals span
+        [-(L-1), Ls-1], rel=1 span [0, Ls+L-2]. Consecutive block bases
+        carry a +2 guard gap so a single key delta <= 1 can never merge
+        across seq/strand. encode[blk] = base[blk] - min_band[blk]
+        (int32, may be negative); decode[blk] = base[blk] (int32).
+        Returns None when the flat space would overflow the key's
+        26-bit field (fall back to the 2-key sort)."""
+        cached = self._fb_cache.get(L)
+        if cached is not None or L in self._fb_cache:
+            return cached
+        bb = self.cfg.band_bits
+        Ls = self.index.lengths.astype(np.int64)
+        lo0 = (_DIAG_OFF - (L - 1)) >> bb  # rel=0 min band
+        hi0 = (_DIAG_OFF + Ls - 1) >> bb
+        lo1 = _DIAG_OFF >> bb  # rel=1 min band
+        hi1 = (_DIAG_OFF + Ls + L - 2) >> bb
+        mins = np.stack([np.full_like(Ls, lo0), np.full_like(Ls, lo1)], 1)
+        maxs = np.stack([hi0, hi1], 1)
+        sizes = (maxs - mins + 1 + 2).reshape(-1)  # +2 guard gap
+        base = np.zeros(sizes.shape[0], np.int64)
+        base[1:] = np.cumsum(sizes)[:-1]
+        total = int(base[-1] + sizes[-1])
+        if total > (1 << _SEQ_BITS) - 4:
+            self._fb_cache[L] = None
+            return None
+        enc = (base - mins.reshape(-1)).astype(np.int32)
+        dec = base.astype(np.int32)
+        tables = (jnp.asarray(enc), jnp.asarray(dec))
+        self._fb_cache[L] = tables
+        return tables
+
     def _dispatch_fused(self, data_args, cap: int, acap: int, ccap: int):
         cfg = self.cfg
         idx_args = (
@@ -876,7 +1043,17 @@ class MinimizerAligner:
             # binary-search slot compaction is the default; =0 falls back
             # to the grid argsort (byte-identical, see _collect_anchors_slots)
             bsearch=os.environ.get("HYMET_SLOT_BSEARCH", "1") == "1",
+            # =1 replaces the O(B*NW) minimizer compaction sort with the
+            # same destination-map inversion (chain rows byte-identical;
+            # default off until its compile + timing land on the tunnel)
+            min_bsearch=os.environ.get("HYMET_MIN_BSEARCH", "0") == "1",
         )
+        if os.environ.get("HYMET_FLAT_BAND", "0") == "1":
+            # single-key anchor sort (byte-identical chains; default off
+            # until its compile + timing land on the tunnel); None when
+            # the flat band space overflows 26 bits -> 2-key fallback
+            L = data_args[2] if len(data_args) == 3 else data_args[0].shape[1]
+            tail_kw["fb_base2"] = self._fb_tables(L)
         shape_args = (
             cfg.max_occ,
             cfg.band_bits,

@@ -278,6 +278,19 @@ def test_device_chains_match_host_chains(monkeypatch):
     monkeypatch.setenv("HYMET_SLOT_BSEARCH", "0")
     sort_recs = aln.map_batch(names, seqs)
     assert sort_recs == dev_recs
+    # ... and so does the sort-free minimizer compaction (pad slots
+    # differ between the two paths but are masked everywhere downstream)
+    monkeypatch.setenv("HYMET_SLOT_BSEARCH", "1")
+    monkeypatch.setenv("HYMET_MIN_BSEARCH", "1")
+    minb_recs = aln.map_batch(names, seqs)
+    assert minb_recs == dev_recs
+    # ... and the flat-band single-key anchor sort (same global band
+    # boundaries rebased per (seq, strand) block, stable either way)
+    monkeypatch.delenv("HYMET_MIN_BSEARCH", raising=False)
+    monkeypatch.setenv("HYMET_FLAT_BAND", "1")
+    assert aln._fb_tables(1 << 13) is not None, "flat space must fit here"
+    flat_recs = aln.map_batch(names, seqs)
+    assert flat_recs == dev_recs
 
 
 def test_pipelined_dispatch_many_groups(monkeypatch):
