@@ -85,11 +85,12 @@ def _init_jax():
     try:
         # a dead tunnel still fails a jax dial, but only after ~25 min;
         # its terminal leg (:8083) refuses a TCP connect in milliseconds.
-        # After one real dial failure, gate every retry's dial on that
-        # probe (first attempts always dial, so non-tunnel TPU hosts —
-        # where no :8083 exists — are unaffected).
+        # After one dial failure that NAMED the tunnel backend (axon /
+        # :8083 in the error), gate every retry's dial on that probe.
+        # Non-tunnel TPU hosts never set the marker, so their transient
+        # dial failures keep retrying real dials.
         if (
-            int(os.environ.get("_BENCH_DIAL_ATTEMPT", "0")) > 0
+            os.environ.get("_BENCH_DIAL_TUNNEL") == "1"
             and os.environ.get("HYMET_PLATFORM", "") != "cpu"
         ):
             import socket
@@ -114,6 +115,8 @@ def _init_jax():
         attempt = int(os.environ.get("_BENCH_DIAL_ATTEMPT", "0"))
         retries = int(os.environ.get("BENCH_DIAL_RETRIES", "4"))
         log(f"backend init failed (attempt {attempt + 1}/{retries + 1}): {e}")
+        if "axon" in str(e) or "8083" in str(e):
+            os.environ["_BENCH_DIAL_TUNNEL"] = "1"
         if attempt >= retries:
             # Last resort: a disclosed CPU-backend measurement beats an
             # empty record when the tunnel outage outlives the retries
@@ -451,13 +454,14 @@ def bench_sketch() -> dict:
 # item 4 "Done" criterion: aligner Gbp/s on TPU, host leg share)
 
 
-def bench_align() -> dict:
-    _init_jax()
-    import jax.numpy as jnp
-
+def _align_world():
+    """Shared align-bench workload: the real 24-genome Zymo panel index
+    plus a mutated-fragment batch generator (2% SNPs over slices of the
+    largest genome). bench_align and bench_align_stages must measure the
+    SAME input distribution, so both build it here."""
     from hymet_tpu.io.fasta import encode_seq, iter_fasta
     from hymet_tpu.io.minimizer_index import MinimizerIndex
-    from hymet_tpu.models.aligner import MinimizerAligner, _chains_from_rows
+    from hymet_tpu.models.aligner import MinimizerAligner
 
     genomes = sorted(glob.glob(GENOME_GLOB))
     if not genomes:
@@ -474,13 +478,9 @@ def bench_align() -> dict:
         f"in {time.time() - t0:.1f}s"
     )
     aligner = MinimizerAligner(index)
-
-    rng = np.random.default_rng(3)
-    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
     src = np.frombuffer(max((s for _, s in named), key=len), np.uint8)
-    rows, pad = 64, 1 << 16
 
-    def batch(seed):
+    def make_batch(seed: int, rows: int, pad: int) -> np.ndarray:
         r = np.random.default_rng(seed)
         b = np.full((rows, pad), 4, np.uint8)
         for i in range(rows):
@@ -492,6 +492,18 @@ def bench_align() -> dict:
             frag[mut] = r.integers(0, 4, int(mut.sum()), dtype=np.uint8)
             b[i] = frag
         return b
+
+    return index, aligner, make_batch
+
+
+def bench_align() -> dict:
+    _init_jax()
+
+    index, aligner, make_batch = _align_world()
+    rows, pad = 64, 1 << 16
+
+    def batch(seed):
+        return make_batch(seed, rows, pad)
 
     t0 = time.time()
     chains = aligner._chains_for_batch(batch(0))
@@ -544,35 +556,12 @@ def bench_align_stages() -> dict:
     jax = _init_jax()
     import jax.numpy as jnp
 
-    from hymet_tpu.io.fasta import encode_seq, iter_fasta
-    from hymet_tpu.io.minimizer_index import MinimizerIndex
-    from hymet_tpu.models.aligner import MinimizerAligner, _extract_chains_fused
+    from hymet_tpu.models.aligner import _extract_chains_fused
 
-    genomes = sorted(glob.glob(GENOME_GLOB))
-    if not genomes:
-        raise SystemExit("reference Zymo genomes not found")
-    named = []
-    for g in genomes:
-        for n, s in iter_fasta(g):
-            named.append((n.split()[0], s))
-    index = MinimizerIndex.build(named)
-    aligner = MinimizerAligner(index)
-    log(f"index {index.n_minimizers:,} minimizers")
-
-    rng = np.random.default_rng(3)
-    src = np.frombuffer(max((s for _, s in named), key=len), np.uint8)
+    index, aligner, make_batch = _align_world()
     rows = int(os.environ.get("BENCH_ALIGN_ROWS", "64"))
     pad = int(os.environ.get("BENCH_ALIGN_PAD", str(1 << 16)))
-    b = np.full((rows, pad), 4, np.uint8)
-    for i in range(rows):
-        st = int(rng.integers(0, len(src) - pad))
-        frag = np.frombuffer(
-            encode_seq(src[st : st + pad].tobytes()), np.uint8
-        ).copy()
-        mut = rng.random(frag.size) < 0.02
-        frag[mut] = rng.integers(0, 4, int(mut.sum()), dtype=np.uint8)
-        b[i] = frag
-    batch_dev = jnp.asarray(b)
+    batch_dev = jnp.asarray(make_batch(1, rows, pad))
     jax.block_until_ready(batch_dev)
 
     NW, cap = aligner._minimizer_cap(rows, pad)
@@ -612,17 +601,22 @@ def bench_align_stages() -> dict:
         (5, "anchor_sort"),
         (0, "full"),
     ]
+    def _force(out):
+        # forced 4-byte-scale readback (block_until_ready can lie under
+        # donation; a full-array fetch would bill tunnel transfer time
+        # to whichever stage returns the biggest output)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[(slice(0, 1),) * leaf.ndim] if leaf.ndim else leaf)
+
     best: dict = {}
     for stage, name in stages:
         t0 = time.time()
-        out = _extract_chains_fused(*args, stage=stage, **kw)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])  # forced readback
+        _force(_extract_chains_fused(*args, stage=stage, **kw))
         log(f"stage {name}: warmup (compile) {time.time() - t0:.1f}s")
         times = []
         for _ in range(6):
             t0 = time.time()
-            out = _extract_chains_fused(*args, stage=stage, **kw)
-            np.asarray(jax.tree_util.tree_leaves(out)[0])
+            _force(_extract_chains_fused(*args, stage=stage, **kw))
             times.append(time.time() - t0)
         best[name] = min(times)
         log(f"stage {name}: best {best[name]:.4f}s over {len(times)}")

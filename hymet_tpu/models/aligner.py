@@ -53,7 +53,7 @@ import numpy as np
 from hymet_tpu.io.fasta import encode_seq, pack_code_batch
 from hymet_tpu.io.minimizer_index import MinimizerIndex
 from hymet_tpu.io.paf import PafRecord
-from hymet_tpu.ops.compaction import slot_compact_indices
+from hymet_tpu.ops.compaction import searchsorted_right, slot_compact_indices
 from hymet_tpu.ops.minimizer import extract_minimizers_jax
 
 logger = logging.getLogger("hymet_tpu.aligner")
@@ -440,7 +440,6 @@ def _chain_reduce_sorted(
     (qid, seq, rel, count, minq, maxq, minr, maxr) — the compaction
     sort carries only (flag, iota), not the 8 payload columns;
     n_chains > ccap means overflow (caller retries with larger ccap)."""
-    A = s_k1.shape[0]
     big = jnp.uint32(_KEY_BIG)
     valid = s_k2 != big
     band = s_k2 & jnp.uint32(0xFFFFFF)
@@ -450,36 +449,9 @@ def _chain_reduce_sorted(
         & (rel[1:] == rel[:-1])
         & (band[1:] - band[:-1] <= 1)
     )
-    start = jnp.concatenate([jnp.ones((1,), bool), ~same])
-    iota = jnp.arange(A, dtype=jnp.int32)
-
-    def comb(x, y):
-        fx, mnqx, mxqx, mnrx, mxrx = x
-        fy, mnqy, mxqy, mnry, mxry = y
-        return (
-            fx | fy,
-            jnp.where(fy, mnqy, jnp.minimum(mnqx, mnqy)),
-            jnp.where(fy, mxqy, jnp.maximum(mxqx, mxqy)),
-            jnp.where(fy, mnry, jnp.minimum(mnrx, mnry)),
-            jnp.where(fy, mxry, jnp.maximum(mxrx, mxry)),
-        )
-
-    _, minq, maxq, minr, maxr = jax.lax.associative_scan(
-        comb, (start, s_p, s_p, s_r, s_r)
+    cs, cnt, minq, maxq, minr, maxr, n_chains = _chain_core(
+        same, valid, s_p, s_r, k, min_cnt, min_mlen, ccap
     )
-    start_idx = jax.lax.cummax(jnp.where(start, iota, 0))
-    cnt = iota - start_idx + 1
-    is_end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
-    span_q = (maxq - minq).astype(jnp.int32) + k
-    mlen = jnp.minimum(cnt * k, span_q)
-    good = is_end & valid & (cnt >= min_cnt) & (mlen >= min_mlen)
-    n_chains = jnp.sum(good.astype(jnp.int32))
-    # argsort+gather compaction: stable 1-key sort of (flag, iota) keeps
-    # ascending anchor order (the host path's chain emission order), then
-    # the 8 output columns gather at the ccap surviving positions only
-    not_good = (~good).astype(jnp.uint32)
-    _, cperm = jax.lax.sort((not_good, iota), dimension=0, num_keys=1)
-    cs = cperm[:ccap]
     g_k1 = s_k1[cs]
     out = jnp.stack(
         [
@@ -497,22 +469,17 @@ def _chain_reduce_sorted(
     return out, n_chains
 
 
-def _chain_reduce_sorted_flat(
-    s_key, s_p, s_r, fb_dec, k: int, min_cnt: int, min_mlen: int, ccap: int
-):
-    """:func:`_chain_reduce_sorted` for the flat-band single-key layout
-    (``HYMET_FLAT_BAND=1``): key = qid << 26 | flat, where ``flat`` is a
-    per-(seq, strand) block base plus the local diagonal band, blocks
-    separated by >= 2 guard slots. One uint32 delta therefore encodes
-    every break condition at once: same chain <=> key delta <= 1 (equal
-    band or +-1-band merge; any seq/strand/query change jumps past the
-    guard gap). Scans and compaction are identical to the 2-key form;
-    seq/strand decode back out of the ccap surviving rows by one binary
-    search over the block-base table."""
-    A = s_key.shape[0]
-    big = jnp.uint32(_KEY_BIG)
-    valid = s_key != big
-    same = (s_key[1:] - s_key[:-1]) <= 1
+def _chain_core(same, valid, s_p, s_r, k: int, min_cnt: int, min_mlen: int, ccap: int):
+    """Shared chain-segmentation core over sorted anchors: segmented
+    min/max extents via one associative scan, counts via the
+    cummax-of-start-indices trick, good-chain filtering, and the
+    (flag, iota) argsort compaction (stable => ascending anchor order,
+    the host path's chain emission order). ``same[i]`` says anchor i+1
+    continues anchor i's chain — the only piece that differs between the
+    2-key and flat-band key layouts. Returns
+    (cs, cnt, minq, maxq, minr, maxr, n_chains); callers gather their
+    output columns at the `cs` positions only."""
+    A = valid.shape[0]
     start = jnp.concatenate([jnp.ones((1,), bool), ~same])
     iota = jnp.arange(A, dtype=jnp.int32)
 
@@ -540,24 +507,35 @@ def _chain_reduce_sorted_flat(
     not_good = (~good).astype(jnp.uint32)
     _, cperm = jax.lax.sort((not_good, iota), dimension=0, num_keys=1)
     cs = cperm[:ccap]
+    return cs, cnt, minq, maxq, minr, maxr, n_chains
+
+
+def _chain_reduce_sorted_flat(
+    s_key, s_p, s_r, fb_dec, k: int, min_cnt: int, min_mlen: int, ccap: int
+):
+    """:func:`_chain_reduce_sorted` for the flat-band single-key layout
+    (``HYMET_FLAT_BAND=1``): key = qid << 26 | flat, where ``flat`` is a
+    per-(seq, strand) block base plus the local diagonal band, blocks
+    separated by >= 2 guard slots. One uint32 delta therefore encodes
+    every break condition at once: same chain <=> key delta <= 1 (equal
+    band or +-1-band merge; any seq/strand/query change jumps past the
+    guard gap). Scans and compaction are identical to the 2-key form;
+    seq/strand decode back out of the ccap surviving rows by one binary
+    search over the block-base table."""
+    big = jnp.uint32(_KEY_BIG)
+    valid = s_key != big
+    same = (s_key[1:] - s_key[:-1]) <= 1
+    cs, cnt, minq, maxq, minr, maxr, n_chains = _chain_core(
+        same, valid, s_p, s_r, k, min_cnt, min_mlen, ccap
+    )
     g_key = s_key[cs]
     flat = (g_key & jnp.uint32((1 << _SEQ_BITS) - 1)).astype(jnp.int32)
     # block decode: last block with base <= flat (blocks interleave
     # (seq, strand) as idx = seq << 1 | rel)
     nb = fb_dec.shape[0]
-    steps = max(1, int(math.ceil(math.log2(nb + 1))))
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        go_right = fb_dec[mid] <= flat
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
-
-    cw = cs.shape[0]  # min(A, ccap): the [:ccap] slice clamps when A < ccap
-    lo0 = jnp.zeros((cw,), jnp.int32)
-    hi0 = jnp.full((cw,), nb, jnp.int32)
-    last_le, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
-    blk = jnp.clip(last_le - 1, 0, nb - 1).astype(jnp.uint32)
+    blk = jnp.clip(searchsorted_right(fb_dec, flat) - 1, 0, nb - 1).astype(
+        jnp.uint32
+    )
     out = jnp.stack(
         [
             g_key >> _SEQ_BITS,

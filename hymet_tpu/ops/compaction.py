@@ -27,6 +27,28 @@ import jax
 import jax.numpy as jnp
 
 
+def searchsorted_right(arr: jax.Array, q: jax.Array) -> jax.Array:
+    """Branchless right-bisect: first index where ``arr[i] > q`` per
+    query (== ``np.searchsorted(arr, q, "right")`` for sorted ``arr``).
+    One fori_loop of ``ceil(log2(n+1))`` clamped-gather steps — the
+    shared primitive behind every destination-map inversion and block
+    decode in this codebase (the 64-bit limb searches in ops/sketch.py
+    and models/aligner.py keep their own two-array variants)."""
+    n = arr.shape[0]
+    steps = max(1, int(math.ceil(math.log2(n + 1))))
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        go_right = arr[mid] <= q
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo0 = jnp.zeros(q.shape, jnp.int32)
+    hi0 = jnp.full(q.shape, n, jnp.int32)
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
+    return lo
+
+
 def slot_compact_indices(
     occ: jax.Array, cap: int
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -48,17 +70,6 @@ def slot_compact_indices(
     n_items = cbase[-1]
     basex = cbase - occ  # exclusive base: row n owns [basex, basex + occ)
     piota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
-    steps = max(1, int(math.ceil(math.log2(n + 1))))
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        go_right = basex[mid] <= piota
-        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
-
-    lo0 = jnp.zeros((cap,), jnp.int32)
-    hi0 = jnp.full((cap,), n, jnp.int32)
-    last_le, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
-    n_i = jnp.clip(last_le - 1, 0, n - 1)
+    n_i = jnp.clip(searchsorted_right(basex, piota) - 1, 0, n - 1)
     j_i = piota - basex[n_i]
     return n_i, j_i, n_items

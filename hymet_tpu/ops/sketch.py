@@ -147,14 +147,18 @@ def _count_eqmm(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
 
 
 # Prefilter survivor capacity: expected survivors are ~q_len * t/2^64
-# (t/2^64 ~= sketch_size/genome_len, ~0.01-0.3% for real Mash DBs), so a
-# cap of max(4096, n/512) carries >=10x headroom at bench scale while
-# keeping the survivor binary search negligible. Overflow triggers the
-# exact in-jit fallback branch (lax.cond), so the result is always exact
-# regardless of input skew (e.g. low-complexity poly-A runs hashing to
-# one repeated surviving value).
+# (t/2^64 ~= sketch_size/genome_len, ~0.01-0.3% for real Mash DBs — the
+# top of that range comes from small genomes, e.g. s=1000 over a 300 kb
+# plasmid, whose bottom-sketch threshold t lifts the whole merged DB's
+# survivor rate). cap = max(4096, n/128) = 0.78% of the stream covers
+# that worst documented rate with ~2.6x headroom while keeping the
+# survivor binary search negligible (65 K searches per 8.4 M-hash
+# batch). Overflow triggers the exact in-jit fallback branch
+# (lax.cond), so the result is always exact regardless of input skew
+# (e.g. low-complexity poly-A runs hashing to one repeated surviving
+# value).
 _PREF_CAP_FLOOR = 4096
-_PREF_CAP_SHIFT = 9  # cap grows as n >> 9 past the floor
+_PREF_CAP_SHIFT = 7  # cap grows as n >> 7 past the floor
 # legacy per-row top_k compaction geometry (HYMET_PREF_TOPK=1)
 _PREF_COLS = 4096
 _PREF_CAP = 16
@@ -180,7 +184,7 @@ def _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
          one branchless binary search — no sort, no top_k, and the cap
          is global rather than per-row so clustered survivors don't
          overflow early),
-      3. binary-search count only the compacted candidates (~512x fewer
+      3. binary-search count only the compacted candidates (~128x fewer
          gathers than searching the full stream).
 
     If more than cap hashes survive — or the DB is so dense that t's hi
@@ -207,6 +211,10 @@ def _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
         & ((q_hi < t_hi) | ((q_hi == t_hi) & (q_lo <= t_lo)))
     )
     n = q_hi.shape[0]
+    # read at TRACE time (this body runs under the callers' jit): the
+    # compiled program is cached per shape, so toggling mid-process is a
+    # silent no-op — set before the first screen call. The bench queue
+    # A/Bs this via separate processes, where trace-time reads are exact.
     if os.environ.get("HYMET_PREF_TOPK") == "1":
         C = min(_PREF_COLS, n)
         R = -(-n // C)

@@ -288,7 +288,11 @@ def test_device_chains_match_host_chains(monkeypatch):
     # boundaries rebased per (seq, strand) block, stable either way)
     monkeypatch.delenv("HYMET_MIN_BSEARCH", raising=False)
     monkeypatch.setenv("HYMET_FLAT_BAND", "1")
-    assert aln._fb_tables(1 << 13) is not None, "flat space must fit here"
+    # every padded length this batch actually uses must fit the flat
+    # space, or map_batch silently falls back to the 2-key sort and the
+    # parity assert below passes vacuously
+    pads = {-(-len(s) // (1 << 13)) * (1 << 13) for s in seqs}
+    assert all(aln._fb_tables(p) is not None for p in pads), pads
     flat_recs = aln.map_batch(names, seqs)
     assert flat_recs == dev_recs
 
