@@ -103,3 +103,41 @@ def test_large_f_prefilter_formulation_exact(big_db):
         use_eqmm=False,
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_large_f_sharded_prefilter_exact(big_db, monkeypatch):
+    """Sharded screen with the prefilter count FORCED (the TPU default
+    at this F): per-shard flat rows end in all-ones pad sentinels, which
+    the prefilter must exclude from its bottom-sketch threshold while
+    the survivor compaction stays exact. Query shapes here are unique to
+    this test so the forced env var is read at trace time (it is a
+    trace-time knob — see _count_prefilter)."""
+    monkeypatch.setenv("HYMET_COUNT_PREFILTER", "1")
+    rng = np.random.default_rng(17)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    codes = rng.choice(acgt, size=10240).astype(np.uint8)
+    from hymet_tpu.io.fasta import encode_seq
+
+    enc = encode_seq(codes.tobytes())
+    qh = kmer_hashes_host(enc, big_db.k)
+    db = big_db
+    db.hashes[33, :64] = np.sort(qh[:64])
+    db.hashes[33] = np.sort(db.hashes[33])
+    db._flat = None
+
+    mesh = make_mesh()
+    eng = ShardedScreenEngine(mesh, db)
+    eng.update_codes(enc[None, :].copy())
+    res = eng.finalize()
+
+    qset = np.unique(qh)
+    for ref in (33, 0, 4095):
+        want = np.intersect1d(db.hashes[ref], qset).size
+        assert int(res.shared[ref]) == want, f"ref {ref}"
+
+    monkeypatch.delenv("HYMET_COUNT_PREFILTER")
+    solo = ScreenEngine(db)
+    import jax.numpy as jnp
+
+    solo.update_codes(jnp.asarray(enc[None, :]))
+    np.testing.assert_array_equal(res.shared, solo.finalize().shared)
