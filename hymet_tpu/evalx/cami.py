@@ -33,35 +33,28 @@ def parse_lineage_cami(lineage: str) -> Dict[str, str]:
     return out
 
 
-def load_classified_records(path: str) -> List[Dict[str, str]]:
-    records: List[Dict[str, str]] = []
+def read_lineages(path: str) -> List[Dict[str, str]]:
+    """Per-contig rank->name lineages from ``classified_sequences.tsv``
+    (rows whose Lineage column names at least one recognized rank)."""
     with open(path, encoding="utf-8", errors="ignore") as fh:
-        reader = csv.DictReader(fh, delimiter="\t")
-        for row in reader:
-            parsed = parse_lineage_cami(row.get("Lineage", ""))
-            if any(parsed.values()):
-                records.append(parsed)
-    return records
+        rows = (parse_lineage_cami(r.get("Lineage", "")) for r in csv.DictReader(fh, delimiter="\t"))
+        return [ranks for ranks in rows if any(ranks.values())]
 
 
-def accumulate_counts(
-    records: List[Dict[str, str]], name2tid: Dict[str, str]
+def tally_by_rank(
+    lineages: List[Dict[str, str]], name2tid: Dict[str, str]
 ) -> Tuple[Dict[str, Dict[str, int]], Dict[str, int], set]:
+    """Per-rank taxid tallies over resolvable names. Returns
+    (counts per rank, per-rank totals, the set of taxids used)."""
     counts: Dict[str, Dict[str, int]] = {rank: defaultdict(int) for rank in CAMI_RANKS}
-    totals = {rank: 0 for rank in CAMI_RANKS}
-    taxids_needed = set()
-    for parsed in records:
+    for ranks in lineages:
         for rank in CAMI_RANKS:
-            name = parsed.get(rank)
-            if not name:
-                continue
-            tid = name2tid.get(name)
-            if not tid:
-                continue
-            counts[rank][tid] += 1
-            totals[rank] += 1
-            taxids_needed.add(tid)
-    return counts, totals, taxids_needed
+            tid = name2tid.get(ranks.get(rank) or "")
+            if tid:
+                counts[rank][tid] += 1
+    totals = {rank: sum(counts[rank].values()) for rank in CAMI_RANKS}
+    used = {tid for per_rank in counts.values() for tid in per_rank}
+    return counts, totals, used
 
 
 def emit_cami(
@@ -101,10 +94,10 @@ def classified_to_cami(
     sample_id: str = "sample_0",
 ) -> int:
     """Full conversion; returns the number of lineage records used."""
-    records = load_classified_records(classified_tsv)
+    records = read_lineages(classified_tsv)
     all_names = {n for parsed in records for n in parsed.values() if n}
     name2tid = taxdb.batch_name2taxid(all_names)
-    counts, totals, needed = accumulate_counts(records, name2tid)
+    counts, totals, needed = tally_by_rank(records, name2tid)
     taxid2path: Dict[str, Tuple[str, str]] = {}
     for tid in needed:
         ids, names = taxdb.taxpath(tid)

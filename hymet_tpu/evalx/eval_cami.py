@@ -1,14 +1,14 @@
 """CAMI evaluator: profile + per-contig metrics.
 
-Port of reference ``tools/eval_cami.py`` with identical metrics and output
-files (profile_summary.tsv, contigs_exact.tsv, contigs_per_rank.tsv,
-_debug_info.txt):
+Behavioral counterpart of reference ``tools/eval_cami.py`` (same metrics
+and output files: profile_summary.tsv, contigs_exact.tsv,
+contigs_per_rank.tsv, _debug_info.txt):
 
 - per-rank L1 total variation (0.5 * sum |a-b|), Bray-Curtis %, and
   presence/absence P/R/F1 at a 0.1% threshold (``eval_cami.py:369-385``),
-- robust multi-format profile parser (CAMI rows / taxid+rank+percentage
+- multi-format profile reader (bare CAMI data rows / taxid+rank+value
   headers / taxpath(sn) headers, ``:168-234``),
-- robust truth-contig parser (tsv/csv/whitespace, header aliases,
+- tolerant truth-contig reader (tsv/csv/whitespace, header aliases,
   ``:243-303``),
 - length-weighted profile rebuild from per-contig labels (``:306-329``),
 - prediction-taxid resolution cascade: deepest lineage name -> TaxID
@@ -36,11 +36,13 @@ import pathlib
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from hymet_tpu.evalx.cami import parse_lineage_cami
 from hymet_tpu.taxonomy.db import TaxonomyDB
 from hymet_tpu.taxonomy.idmap import IdentifierMap
 
 RANKS = ["superkingdom", "phylum", "class", "order", "family", "genus", "species"]
+
+# Rank depth within a 7-slot taxpath chain.
+_DEPTH = {rank: i for i, rank in enumerate(RANKS)}
 
 # note: strain/subspecies collapse to species here (eval granularity),
 # unlike the classifier's 8-rank table — mirrors eval_cami.py:19-40.
@@ -67,208 +69,224 @@ _EVAL_ALIAS = {
     "strain": "species",
 }
 
-
-def is_num(s: Optional[str]) -> bool:
-    s = (s or "").strip()
-    if not s:
-        return False
-    return bool(re.fullmatch(r"[0-9]+(?:\.[0-9]+)?", s))
+_NUMERIC = re.compile(r"[0-9]+(?:\.[0-9]+)?")
 
 
-def normalize_taxid(val: str) -> str:
-    if not val:
-        return ""
-    match = re.search(r"[0-9]+", val)
-    return match.group(0) if match else ""
+def _numlike(tok: Optional[str]) -> bool:
+    """True when the (stripped) token is a bare decimal number."""
+    tok = (tok or "").strip()
+    return bool(tok) and _NUMERIC.fullmatch(tok) is not None
 
 
-def parse_lineage_eval(lineage_raw: str) -> Dict[str, str]:
-    out: Dict[str, str] = {}
-    if not lineage_raw:
-        return out
-    for part in (seg.strip() for seg in lineage_raw.split(";")):
-        if not part or ":" not in part:
+def taxid_digits(tok: Optional[str]) -> str:
+    """First digit run in a token ('taxid:562' -> '562'), else ''."""
+    hit = re.search(r"[0-9]+", tok or "")
+    return hit.group(0) if hit else ""
+
+
+def _eval_lineage(text: str) -> Dict[str, str]:
+    """'rank:name; ...' -> {canonical rank: name}, eval-alias collapsed."""
+    lineage: Dict[str, str] = {}
+    for piece in (text or "").split(";"):
+        rank_name = piece.strip().split(":", 1)
+        if len(rank_name) != 2:
             continue
-        rk, nm = part.split(":", 1)
-        rank = _EVAL_ALIAS.get(rk.strip().lower())
-        nm = nm.strip()
-        if rank and nm:
-            out[rank] = nm
-    return out
+        rank = _EVAL_ALIAS.get(rank_name[0].strip().lower())
+        name = rank_name[1].strip()
+        if rank and name:
+            lineage[rank] = name
+    return lineage
 
 
 # ----------------------------------------------------------------------
-# profiles
+# profiles: {rank: Counter(taxon -> percentage)}
 
 
-def _empty_profile() -> Dict[str, collections.Counter]:
-    return {r: collections.Counter() for r in RANKS}
+def _blank_profile() -> Dict[str, collections.Counter]:
+    return {rank: collections.Counter() for rank in RANKS}
 
 
-def parse_profile_lines(lines: Sequence[str], taxdb: Optional[TaxonomyDB]) -> Dict[str, collections.Counter]:
-    prof = _empty_profile()
-    ok = False
-    for ln in lines:
-        if not ln.strip() or ln[0] in "#@":
+def _percent_scale(value_header: str) -> float:
+    """Columns named like a 0..1 fraction are rescaled to percent."""
+    return 100.0 if ("abundance" in value_header or "fraction" in value_header) else 1.0
+
+
+def _headerless_cami(lines: Sequence[str]) -> Optional[Dict[str, collections.Counter]]:
+    """Bare CAMI data rows (taxid/rank/taxpath/taxpathsn/pct, no header
+    beyond #/@ comments). None when the text is not in this shape."""
+    prof = _blank_profile()
+    found = False
+    for raw in lines:
+        if not raw.strip() or raw[0] in "#@":
             continue
-        ps = ln.rstrip("\n").split("\t")
-        if len(ps) >= 5 and is_num(ps[0]):
-            rk = ps[1].strip().lower()
-            if rk in prof:
-                try:
-                    prof[rk][ps[0]] += float(ps[4])
-                    ok = True
-                except ValueError:
-                    pass
+        cols = raw.rstrip("\n").split("\t")
+        if len(cols) < 5 or not _numlike(cols[0]):
+            break  # a header row — this is a tabular profile instead
+        rank = cols[1].strip().lower()
+        if rank not in prof:
             continue
-        break
-    if ok:
-        return prof
+        try:
+            prof[rank][cols[0]] += float(cols[4])
+            found = True
+        except ValueError:
+            pass
+    return prof if found else None
 
-    body = [ln for ln in lines if ln.strip() and ln[0] not in "#@"]
-    rdr = csv.reader(body, delimiter="\t")
-    try:
-        hdr = next(rdr)
-    except StopIteration:
-        return prof
-    h = [c.strip().lower() for c in hdr]
 
-    def idx(*names):
-        for n in names:
-            if n in h:
-                return h.index(n)
+def _tabular_profile(
+    lines: Sequence[str], taxdb: Optional[TaxonomyDB]
+) -> Dict[str, collections.Counter]:
+    """Header-driven profile tables: taxid+rank+value, or rank+taxpath(sn)
+    +value with the rank's slot picked out of the path chain."""
+    prof = _blank_profile()
+    table = list(
+        csv.reader((ln for ln in lines if ln.strip() and ln[0] not in "#@"), delimiter="\t")
+    )
+    if not table:
+        return prof
+    head = [c.strip().lower() for c in table[0]]
+    rows = table[1:]
+
+    def col(*aliases: str) -> int:
+        for alias in aliases:
+            if alias in head:
+                return head.index(alias)
         return -1
 
-    i_taxid = idx("taxid", "taxon_id", "ncbi_taxid", "ncbi_tax_id")
-    i_rank = idx("rank")
-    i_perc = idx("percentage", "abundance", "rel_abundance", "fraction_total_reads")
-    i_taxpath = idx("taxpath")
-    i_taxpathsn = idx("taxpathsn", "taxpath_sn", "taxpath_names", "lineage")
-    rows = list(rdr)
-    if i_taxid >= 0 and i_rank >= 0 and i_perc >= 0:
-        mul = 100.0 if ("abundance" in h[i_perc] or "fraction" in h[i_perc]) else 1.0
-        for ps in rows:
+    c_tax = col("taxid", "taxon_id", "ncbi_taxid", "ncbi_tax_id")
+    c_rank = col("rank")
+    c_val = col("percentage", "abundance", "rel_abundance", "fraction_total_reads")
+    c_path = col("taxpath")
+    c_names = col("taxpathsn", "taxpath_sn", "taxpath_names", "lineage")
+
+    if c_tax >= 0 and c_rank >= 0 and c_val >= 0:
+        scale = _percent_scale(head[c_val])
+        for row in rows:
             try:
-                tid = normalize_taxid(ps[i_taxid])
-                rk = ps[i_rank].strip().lower()
-                val = float(ps[i_perc]) * mul
-                if rk in prof and tid:
-                    prof[rk][tid] += val
+                rank = row[c_rank].strip().lower()
+                tid = taxid_digits(row[c_tax])
+                if rank in prof and tid:
+                    prof[rank][tid] += float(row[c_val]) * scale
             except (ValueError, IndexError):
                 pass
         return prof
-    if i_rank >= 0 and (i_taxpath >= 0 or i_taxpathsn >= 0) and i_perc >= 0:
-        rk_to_idx = dict(zip(RANKS, range(len(RANKS))))
-        mul = 100.0 if ("abundance" in h[i_perc] or "fraction" in h[i_perc]) else 1.0
-        if i_taxpath >= 0:
-            for ps in rows:
-                try:
-                    rk = ps[i_rank].strip().lower()
-                    ids = [x for x in ps[i_taxpath].strip().split("|") if x and x != "NA"]
-                    r_i = rk_to_idx.get(rk, -1)
-                    if 0 <= r_i < len(ids):
-                        prof[rk][ids[r_i]] += float(ps[i_perc]) * mul
-                except (ValueError, IndexError):
-                    pass
-            return prof
-        # taxpathsn (names) path: resolve rank names to taxids
-        names = set()
-        keep = []
-        for ps in rows:
+
+    if c_rank < 0 or c_val < 0 or (c_path < 0 and c_names < 0):
+        return prof
+    scale = _percent_scale(head[c_val])
+
+    if c_path >= 0:  # taxid chains: rank picks its depth slot
+        for row in rows:
             try:
-                rk = ps[i_rank].strip().lower()
-                pathn = [p.strip() for p in ps[i_taxpathsn].split("|")]
-                r_i = rk_to_idx.get(rk, -1)
-                if 0 <= r_i < len(pathn) and pathn[r_i]:
-                    names.add(pathn[r_i])
-                keep.append(ps)
+                rank = row[c_rank].strip().lower()
+                chain = [t for t in row[c_path].strip().split("|") if t and t != "NA"]
+                pos = _DEPTH.get(rank, -1)
+                if 0 <= pos < len(chain):
+                    prof[rank][chain[pos]] += float(row[c_val]) * scale
             except (ValueError, IndexError):
                 pass
-        m = taxdb.batch_name2taxid(names) if taxdb else {}
-        for ps in keep:
+        return prof
+
+    # name chains: two passes so name->taxid resolution is one batch call
+    parsed: List[Tuple[str, int, List[str], List[str]]] = []
+    wanted: set = set()
+    for row in rows:
+        try:
+            rank = row[c_rank].strip().lower()
+            chain = [p.strip() for p in row[c_names].split("|")]
+        except (ValueError, IndexError):
+            continue
+        pos = _DEPTH.get(rank, -1)
+        if 0 <= pos < len(chain) and chain[pos]:
+            wanted.add(chain[pos])
+        parsed.append((rank, pos, chain, row))
+    resolved = taxdb.batch_name2taxid(wanted) if taxdb else {}
+    for rank, pos, chain, row in parsed:
+        if not (0 <= pos < len(chain)):
+            continue
+        tid = resolved.get(chain[pos])
+        if tid:
             try:
-                rk = ps[i_rank].strip().lower()
-                pathn = [p.strip() for p in ps[i_taxpathsn].split("|")]
-                r_i = rk_to_idx.get(rk, -1)
-                if 0 <= r_i < len(pathn):
-                    tid = m.get(pathn[r_i])
-                    if tid:
-                        prof[rk][tid] += float(ps[i_perc]) * mul
+                prof[rank][tid] += float(row[c_val]) * scale
             except (ValueError, IndexError):
                 pass
     return prof
 
 
-def load_profile_any(path: Optional[str], taxdb: Optional[TaxonomyDB]) -> Dict[str, collections.Counter]:
+def read_profile(
+    path: Optional[str], taxdb: Optional[TaxonomyDB]
+) -> Dict[str, collections.Counter]:
+    """Profile in any of the accepted dialects; blank when unreadable."""
     if not path or not os.path.isfile(path):
-        return _empty_profile()
-    with open(path, encoding="utf-8", errors="ignore") as f:
-        return parse_profile_lines(f.readlines(), taxdb)
+        return _blank_profile()
+    with open(path, encoding="utf-8", errors="ignore") as fh:
+        lines = fh.readlines()
+    prof = _headerless_cami(lines)
+    return prof if prof is not None else _tabular_profile(lines, taxdb)
 
 
 # ----------------------------------------------------------------------
-# truth contigs
+# truth contigs: contig name -> taxid
 
 
-def load_gt_contigs(gt_file: Optional[str]) -> Dict[str, str]:
-    out: Dict[str, str] = {}
+def read_truth_assignments(gt_file: Optional[str]) -> Dict[str, str]:
+    """Truth contig table with sniffed delimiter and aliased columns."""
     if not gt_file or not os.path.isfile(gt_file):
-        return out
+        return {}
     with open(gt_file, encoding="utf-8", errors="ignore") as fh:
-        first_line = fh.readline()
-    if "\t" in first_line:
-        delim = "\t"
-    elif "," in first_line:
-        delim = ","
+        lines = fh.read().splitlines()
+    if not lines:
+        return {}
+    if "\t" in lines[0]:
+        table = [r for r in csv.reader(lines, delimiter="\t") if r]
+    elif "," in lines[0]:
+        table = [r for r in csv.reader(lines, delimiter=",") if r]
     else:
-        delim = None
-    with open(gt_file, encoding="utf-8", errors="ignore") as f:
-        if delim:
-            rdr = csv.reader(f, delimiter=delim)
-            hdr = next(rdr)
-            rows = [row for row in rdr if row]
-        else:
-            hdr = first_line.strip().split()
-            rows = []
-            next(f)
-            for line in f:
-                line = line.strip()
-                if line:
-                    rows.append(line.split())
-    h = [c.strip().lstrip("#").lower() for c in hdr]
-    contig_keys = [k for k in h if any(x in k for x in ("contig", "sequence", "scaffold"))]
-    taxid_keys = [k for k in h if ("tax" in k and "path" not in k)] + [
-        k
-        for k in h
-        if k in ("ncbi_taxid", "ncbi_tax_id", "taxid", "tax_id", "species_taxid", "genome_taxid")
-    ]
-    ci = h.index(contig_keys[0]) if contig_keys else 0
-    ti = h.index(taxid_keys[0]) if taxid_keys else -1
-    if ti >= 0:
-        for ps in rows:
-            if len(ps) <= max(ci, ti):
+        table = [ln.split() for ln in lines if ln.strip()]
+    header, rows = table[0], table[1:]
+
+    fields = [c.strip().lstrip("#").lower() for c in header]
+
+    def pick(want) -> int:
+        for i, name in enumerate(fields):
+            if want(name):
+                return i
+        return -1
+
+    qcol = pick(lambda k: "contig" in k or "sequence" in k or "scaffold" in k)
+    if qcol < 0:
+        qcol = 0
+    tcol = pick(lambda k: "tax" in k and "path" not in k)
+    if tcol < 0:
+        tcol = pick(
+            lambda k: k
+            in ("ncbi_taxid", "ncbi_tax_id", "taxid", "tax_id", "species_taxid", "genome_taxid")
+        )
+
+    out: Dict[str, str] = {}
+    if tcol >= 0:
+        for row in rows:
+            if len(row) <= max(qcol, tcol):
                 continue
-            raw = (ps[ti] or "").strip()
+            raw = (row[tcol] or "").strip()
             if not raw:
                 continue
-            ntid = raw if is_num(raw) else normalize_taxid(raw)
-            if ntid:
-                out[ps[ci]] = normalize_taxid(ntid)
-    else:
-        if "taxpath" in h:
-            tpi = h.index("taxpath")
-            for ps in rows:
-                ids = [x for x in ps[tpi].split("|") if x and x != "NA"]
-                if ids:
-                    tid = normalize_taxid(ids[-1])
-                    if tid:
-                        out[ps[ci]] = tid
-        else:
-            for ps in rows:
-                for x in ps[1:]:
-                    if is_num(x):
-                        out[ps[0]] = normalize_taxid(x)
-                        break
+            tid = raw if _numlike(raw) else taxid_digits(raw)
+            if tid:
+                out[row[qcol]] = taxid_digits(tid)
+    elif "taxpath" in fields:
+        pcol = fields.index("taxpath")
+        for row in rows:
+            chain = [t for t in row[pcol].split("|") if t and t != "NA"]
+            tid = taxid_digits(chain[-1]) if chain else ""
+            if tid:
+                out[row[qcol]] = tid
+    else:  # no recognizable taxid column: first numeric token per row
+        for row in rows:
+            for tok in row[1:]:
+                if _numlike(tok):
+                    out[row[0]] = taxid_digits(tok)
+                    break
     return out
 
 
@@ -276,57 +294,53 @@ def load_gt_contigs(gt_file: Optional[str]) -> Dict[str, str]:
 # fasta helpers
 
 
-def fasta_lengths(paths: Sequence[Optional[str]]) -> Dict[str, int]:
+def sequence_lengths(paths: Sequence[Optional[str]]) -> Dict[str, int]:
+    from hymet_tpu.io.fasta import iter_fasta
+
     lens: Dict[str, int] = {}
     for path in paths:
-        if not path or not os.path.isfile(path):
-            continue
-        from hymet_tpu.io.fasta import iter_fasta
-
-        for name, seq in iter_fasta(path):
-            lens.setdefault(name, len(seq))
+        if path and os.path.isfile(path):
+            for name, seq in iter_fasta(path):
+                lens.setdefault(name, len(seq))
     return lens
 
 
-def fasta_hashes(path: Optional[str]) -> Dict[str, str]:
-    hmap: Dict[str, str] = {}
-    if not path or not os.path.isfile(path):
-        return hmap
+def sequence_md5s(path: Optional[str]) -> Dict[str, str]:
     from hymet_tpu.io.fasta import iter_fasta
 
-    for name, seq in iter_fasta(path):
-        hmap[name] = hashlib.md5(seq).hexdigest()
-    return hmap
+    if not path or not os.path.isfile(path):
+        return {}
+    return {name: hashlib.md5(seq).hexdigest() for name, seq in iter_fasta(path)}
 
 
 # ----------------------------------------------------------------------
 # metrics
 
 
-def l1_and_braycurtis(a: dict, b: dict) -> Tuple[float, float]:
-    keys = set(a) | set(b)
-    if not keys:
+def profile_distance(pred: dict, truth: dict) -> Tuple[float, float]:
+    """(0.5*L1 total variation, Bray-Curtis dissimilarity %)."""
+    taxa = set(pred) | set(truth)
+    if not taxa:
         # an empty rank scores BC=100 in the reference's profile_summary
         # (eval_cami.py:611-620 computes inline without the early return
         # its own standalone helper at :369-377 has)
         return 0.0, 100.0
-    sum_abs = sum(abs(a.get(k, 0.0) - b.get(k, 0.0)) for k in keys)
-    l1 = 0.5 * sum_abs
-    sump = sum(a.get(k, 0.0) for k in keys)
-    sumt = sum(b.get(k, 0.0) for k in keys)
-    shared = sum(min(a.get(k, 0.0), b.get(k, 0.0)) for k in keys)
-    bc = 1.0 - (2.0 * shared / (sump + sumt if (sump + sumt) > 0 else 1.0))
+    l1 = 0.5 * sum(abs(pred.get(t, 0.0) - truth.get(t, 0.0)) for t in taxa)
+    overlap = sum(min(pred.get(t, 0.0), truth.get(t, 0.0)) for t in taxa)
+    mass = sum(pred.get(t, 0.0) for t in taxa) + sum(truth.get(t, 0.0) for t in taxa)
+    bc = 1.0 - 2.0 * overlap / (mass if mass > 0 else 1.0)
     return l1, bc * 100.0
 
 
-def prf_presence(a: dict, b: dict, thr: float = 0.1):
-    A = {k for k, v in a.items() if v >= thr}
-    B = {k for k, v in b.items() if v >= thr}
-    tp = len(A & B)
-    fp = len(A - B)
-    fn = len(B - A)
-    prec = tp / (tp + fp) if (tp + fp) > 0 else 0.0
-    rec = tp / (tp + fn) if (tp + fn) > 0 else 0.0
+def presence_prf(pred: dict, truth: dict, thr: float = 0.1):
+    """Presence/absence P/R/F1 (%) at an abundance threshold."""
+    called = {t for t, v in pred.items() if v >= thr}
+    present = {t for t, v in truth.items() if v >= thr}
+    tp = len(called & present)
+    fp = len(called) - tp
+    fn = len(present) - tp
+    prec = tp / len(called) if called else 0.0
+    rec = tp / len(present) if present else 0.0
     f1 = 2 * prec * rec / (prec + rec) if (prec + rec) > 0 else 0.0
     return prec * 100.0, rec * 100.0, f1 * 100.0, tp, fp, fn
 
@@ -335,137 +349,153 @@ def prf_presence(a: dict, b: dict, thr: float = 0.1):
 # prediction taxids
 
 
-def paf_firsthit_q2t(paf_path: Optional[str]) -> Dict[str, str]:
-    q2t: Dict[str, str] = {}
+def first_target_by_query(paf_path: Optional[str]) -> Dict[str, str]:
+    """First PAF hit's target per query, file order."""
+    hits: Dict[str, str] = {}
     if not paf_path or not os.path.isfile(paf_path):
-        return q2t
-    with open(paf_path, encoding="utf-8", errors="ignore") as f:
-        for ln in f:
-            if not ln.strip() or ln[0] == "#":
+        return hits
+    with open(paf_path, encoding="utf-8", errors="ignore") as fh:
+        for raw in fh:
+            if not raw.strip() or raw[0] == "#":
                 continue
-            p = ln.rstrip("\n").split("\t")
-            if len(p) < 6:
-                continue
-            q2t.setdefault(p[0], p[5])
-    return q2t
+            cols = raw.rstrip("\n").split("\t")
+            if len(cols) >= 6 and cols[0] not in hits:
+                hits[cols[0]] = cols[5]
+    return hits
 
 
-def preds_taxid_from_classified(
+def _read_classified(path: Optional[str]) -> Dict[str, dict]:
+    """classified_sequences.tsv -> per-query record {lineage, taxid, target}.
+
+    Duplicate queries merge the way two keyed dicts would: the last row's
+    taxid/target win, the last NON-EMPTY lineage wins.
+    """
+    merged: Dict[str, dict] = {}
+    if not path or not os.path.isfile(path):
+        return merged
+    with open(path, encoding="utf-8", errors="ignore") as fh:
+        reader = csv.DictReader(fh, delimiter="\t")
+        byname: Dict[str, str] = {}
+        for c in reader.fieldnames or []:
+            byname.setdefault((c or "").strip().lower(), c)
+
+        def named(*aliases: str) -> Optional[str]:
+            for alias in aliases:
+                if alias in byname:
+                    return byname[alias]
+            return None
+
+        qcol = named("query", "qname", "q")
+        tidcol = named("taxid")
+        tgtcol = named("target", "tname")
+        lincol = named("lineage")
+        for row in reader:
+            q = row.get(qcol) if qcol else None
+            if not q:
+                continue
+            rec = merged.setdefault(q, {"lineage": {}, "taxid": None, "target": None})
+            lineage = _eval_lineage(row.get(lincol, "") if lincol else "")
+            if lineage:
+                rec["lineage"] = lineage
+            rec["taxid"] = row.get(tidcol) if tidcol else None
+            rec["target"] = row.get(tgtcol) if tgtcol else None
+    return merged
+
+
+def _deepest_taxid(lineage: Dict[str, str], name2tid: Dict[str, str]) -> Optional[str]:
+    """Taxid of the deepest resolvable rank name, species upward."""
+    for rank in reversed(RANKS):
+        tid = name2tid.get(lineage.get(rank) or "")
+        if tid and taxid_digits(tid):
+            return taxid_digits(tid)
+    return None
+
+
+def _idmap_taxid(idmap: Optional[IdentifierMap], target: str) -> Optional[str]:
+    """Id-map lookup trying the full target, its pre-'|' stem, and the
+    stem without the accession version suffix."""
+    if not idmap:
+        return None
+    stem = target.split("|", 1)[0]
+    trials = [target, stem]
+    if "." in stem:
+        trials.append(stem.split(".", 1)[0])
+    for t in trials:
+        tid = idmap.get(t)
+        if tid and taxid_digits(tid):
+            return taxid_digits(tid)
+    return None
+
+
+def resolve_contig_taxids(
     classified_tsv: Optional[str],
     taxdb: TaxonomyDB,
     idmap: Optional[IdentifierMap],
     paf_path: Optional[str],
 ) -> Dict[str, str]:
-    """Resolution cascade of ``eval_cami.py:388-483``."""
-    cont2tid: Dict[str, str] = {}
-    lineage_records: Dict[str, Dict[str, str]] = {}
-    fallback_info: Dict[str, Dict[str, Optional[str]]] = {}
-    all_names: set = set()
+    """Resolution cascade of ``eval_cami.py:388-483``: deepest lineage
+    name, then the TaxID column, then the Target column via the id-map,
+    then the PAF first hit via the id-map."""
+    records = _read_classified(classified_tsv)
+    wanted = {n for rec in records.values() for n in rec["lineage"].values() if n}
+    name2tid = taxdb.batch_name2taxid(wanted) if wanted else {}
 
-    if classified_tsv and os.path.isfile(classified_tsv):
-        with open(classified_tsv, encoding="utf-8", errors="ignore") as f:
-            reader = csv.DictReader(f, delimiter="\t")
-            raw_fields = reader.fieldnames or []
-            headers = [(h or "").strip().lower() for h in raw_fields]
-
-            def key(*names):
-                for n in names:
-                    if n in headers:
-                        return raw_fields[headers.index(n)]
-                return None
-
-            key_query = key("query", "qname", "q")
-            key_taxid = key("taxid")
-            key_target = key("target", "tname")
-            key_lineage = key("lineage")
-            for row in reader:
-                q = row.get(key_query) if key_query else None
-                if not q:
-                    continue
-                lineage = parse_lineage_eval(row.get(key_lineage, "") if key_lineage else "")
-                if lineage:
-                    lineage_records[q] = lineage
-                    all_names.update(nm for nm in lineage.values() if nm)
-                fallback_info[q] = {
-                    "taxid": row.get(key_taxid) if key_taxid else None,
-                    "target": row.get(key_target) if key_target else None,
-                }
-
-    name_map = taxdb.batch_name2taxid(all_names) if all_names else {}
-
-    for q, lineage in lineage_records.items():
-        for rank in reversed(RANKS):
-            nm = lineage.get(rank)
-            if not nm:
-                continue
-            tid = name_map.get(nm)
-            if tid and normalize_taxid(tid):
-                cont2tid[q] = normalize_taxid(tid)
-                break
-
-    for q, info in fallback_info.items():
-        if q in cont2tid:
-            continue
-        ntid = normalize_taxid(info.get("taxid") or "")
-        if ntid:
-            cont2tid[q] = ntid
-
-    def try_target(q: str, target: str) -> None:
-        if not idmap:
-            return
-        base = target.split("|", 1)[0]
-        candidates = [target, base]
-        if "." in base:
-            candidates.append(base.split(".", 1)[0])
-        for cand in candidates:
-            tid = idmap.get(cand)
-            if tid and normalize_taxid(tid):
-                cont2tid[q] = normalize_taxid(tid)
-                return
-
-    for q, info in fallback_info.items():
-        if q in cont2tid:
-            continue
-        target = (info.get("target") or "").strip()
-        if target:
-            try_target(q, target)
-
-    for q, target in paf_firsthit_q2t(paf_path).items():
-        if q not in cont2tid:
-            try_target(q, target)
-
-    return cont2tid
+    resolved: Dict[str, str] = {}
+    for q, rec in records.items():
+        if rec["lineage"]:
+            tid = _deepest_taxid(rec["lineage"], name2tid)
+            if tid:
+                resolved[q] = tid
+    for q, rec in records.items():
+        if q not in resolved:
+            tid = taxid_digits(rec["taxid"] or "")
+            if tid:
+                resolved[q] = tid
+    for q, rec in records.items():
+        target = (rec["target"] or "").strip()
+        if q not in resolved and target:
+            tid = _idmap_taxid(idmap, target)
+            if tid:
+                resolved[q] = tid
+    for q, target in first_target_by_query(paf_path).items():
+        if q not in resolved:
+            tid = _idmap_taxid(idmap, target)
+            if tid:
+                resolved[q] = tid
+    return resolved
 
 
 # ----------------------------------------------------------------------
 # length-weighted profile rebuild
 
 
-def profiles_from_contig_maps(
-    contig2tid: Dict[str, str], lengths: Dict[str, int], taxdb: TaxonomyDB
+def rebuild_profile(
+    assignments: Dict[str, str], lengths: Dict[str, int], taxdb: TaxonomyDB
 ) -> Dict[str, collections.Counter]:
-    prof = _empty_profile()
-    normalized = {c: normalize_taxid(t) for c, t in contig2tid.items() if normalize_taxid(t)}
-    if not normalized:
+    """Per-rank percentage profile from contig->taxid labels, weighted by
+    contig length (1 when unknown)."""
+    prof = _blank_profile()
+    labeled = {c: taxid_digits(t) for c, t in assignments.items() if taxid_digits(t)}
+    if not labeled:
         return prof
-    paths = {tid: taxdb.taxpath(tid) for tid in set(normalized.values())}
-    acc = collections.Counter()
-    for cont, tid in normalized.items():
-        w = lengths.get(cont, 1)
-        ids = paths[tid][0].split("|")
-        for i, r in enumerate(RANKS):
+    chains = {tid: taxdb.taxpath(tid)[0].split("|") for tid in set(labeled.values())}
+    mass = {rank: 0 for rank in RANKS}
+    for contig, tid in labeled.items():
+        weight = lengths.get(contig, 1)
+        chain = chains[tid]
+        for pos, rank in enumerate(RANKS):
             # reference quirk preserved: empty (rank-truncated) slots
             # accumulate under the "" key (eval_cami.py:322-324), so a
             # genus-level call still contributes "unassigned" mass at
             # species rank and "" can match "" in presence P/R/F1
-            if i < len(ids) and ids[i] != "NA":
-                prof[r][ids[i]] += w
-                acc[r] += w
-    for r in RANKS:
-        s = acc[r]
-        if s > 0:
-            for k2 in list(prof[r].keys()):
-                prof[r][k2] = 100.0 * prof[r][k2] / s
+            if pos < len(chain) and chain[pos] != "NA":
+                prof[rank][chain[pos]] += weight
+                mass[rank] += weight
+    for rank in RANKS:
+        if mass[rank] > 0:
+            prof[rank] = collections.Counter(
+                {t: 100.0 * v / mass[rank] for t, v in prof[rank].items()}
+            )
     return prof
 
 
@@ -473,7 +503,7 @@ def profiles_from_contig_maps(
 # contig pairing + per-rank accuracy
 
 
-def _besthit_remap(
+def _contig_remap(
     pred_fasta: str, gt_fasta: str, min_cov: float = 0.95, min_id: float = 0.95
 ) -> Dict[str, str]:
     """Best-hit contig remap using the minimizer aligner (replaces the
@@ -497,7 +527,37 @@ def _besthit_remap(
     return {q: t for q, (_, t) in best.items()}
 
 
-def eval_contigs(
+def _pairs_by_md5(
+    predictions: Dict[str, str], truth: Dict[str, str], pred_fasta: str, gt_fasta: str
+) -> List[Tuple[str, str, str]]:
+    """Pair prediction and truth contigs whose sequences hash identically."""
+    by_hash: Dict[str, List[str]] = collections.defaultdict(list)
+    for name, digest in sequence_md5s(gt_fasta).items():
+        by_hash[digest].append(name)
+    qhash = sequence_md5s(pred_fasta)
+    pairs: List[Tuple[str, str, str]] = []
+    for q, tid in predictions.items():
+        digest = qhash.get(q)
+        if not digest:
+            continue
+        for t in by_hash.get(digest, []):
+            if truth.get(t):
+                pairs.append((q, tid, truth[t]))
+    return pairs
+
+
+def _pairs_by_remap(
+    predictions: Dict[str, str], truth: Dict[str, str], pred_fasta: str, gt_fasta: str
+) -> List[Tuple[str, str, str]]:
+    """Pair via a >=95% cov/id best-hit alignment of pred onto truth."""
+    pairs: List[Tuple[str, str, str]] = []
+    for q, t in _contig_remap(pred_fasta, gt_fasta).items():
+        if predictions.get(q) and truth.get(t):
+            pairs.append((q, predictions[q], truth[t]))
+    return pairs
+
+
+def score_contigs(
     pred_file: Optional[str],
     gt_files: Sequence[Optional[str]],
     taxdb: TaxonomyDB,
@@ -507,74 +567,54 @@ def eval_contigs(
     taxmap_path: Optional[str] = None,
     paf_path: Optional[str] = None,
 ) -> dict:
+    """Exact-taxid and per-rank contig accuracy; writes contigs_exact.tsv
+    and contigs_per_rank.tsv when any pair is usable."""
     idmap = (
         IdentifierMap.from_detailed_taxonomy(taxmap_path)
         if taxmap_path and os.path.isfile(taxmap_path)
         else None
     )
-    pred_tid = preds_taxid_from_classified(pred_file, taxdb, idmap, paf_path)
-
-    gt_map: Dict[str, str] = {}
+    predictions = resolve_contig_taxids(pred_file, taxdb, idmap, paf_path)
+    truth: Dict[str, str] = {}
     for gtf in gt_files:
-        gt_map.update(load_gt_contigs(gtf))
+        truth.update(read_truth_assignments(gtf))
 
-    pairs: List[Tuple[str, str, str]] = []
-    for q, tid in pred_tid.items():
-        if q in gt_map:
-            pairs.append((q, tid, gt_map[q]))
-
-    if not pairs and pred_fasta and gt_fasta and os.path.isfile(pred_fasta) and os.path.isfile(gt_fasta):
-        pred_hash = fasta_hashes(pred_fasta)
-        gt_hash = fasta_hashes(gt_fasta)
-        inv_gt = collections.defaultdict(list)
-        for gname, hsh in gt_hash.items():
-            inv_gt[hsh].append(gname)
-        for q in list(pred_tid.keys()):
-            hsh = pred_hash.get(q)
-            if not hsh:
-                continue
-            for t in inv_gt.get(hsh, []):
-                gtid = gt_map.get(t)
-                if gtid:
-                    pairs.append((q, pred_tid[q], gtid))
-
-    if not pairs and pred_fasta and gt_fasta and os.path.isfile(pred_fasta) and os.path.isfile(gt_fasta):
-        q2t = _besthit_remap(pred_fasta, gt_fasta)
-        for q, t in q2t.items():
-            pt = pred_tid.get(q)
-            gtid = gt_map.get(t)
-            if pt and gtid:
-                pairs.append((q, pt, gtid))
+    pairs = [(q, tid, truth[q]) for q, tid in predictions.items() if q in truth]
+    have_fastas = bool(
+        pred_fasta and gt_fasta and os.path.isfile(pred_fasta) and os.path.isfile(gt_fasta)
+    )
+    if not pairs and have_fastas:
+        pairs = _pairs_by_md5(predictions, truth, pred_fasta, gt_fasta)
+    if not pairs and have_fastas:
+        pairs = _pairs_by_remap(predictions, truth, pred_fasta, gt_fasta)
 
     usable = len(pairs)
-    exact = sum(1 for _, pt, gtid in pairs if pt == gtid)
+    exact = sum(1 for _, ptid, gtid in pairs if ptid == gtid)
 
-    tids = {pt for _, pt, _ in pairs} | {gtid for *_, gtid in pairs}
-    tpaths = {tid: taxdb.taxpath(tid) for tid in tids}
-
+    chains = {
+        tid: taxdb.taxpath(tid)[0]
+        for tid in {p for _, p, _ in pairs} | {g for *_, g in pairs}
+    }
     per_rank = {}
-    for i, r in enumerate(RANKS):
-        tot = 0
-        ok = 0
-        for _, pt, gtid in pairs:
-            pids = tpaths.get(pt, ("", ""))[0]
-            gids = tpaths.get(gtid, ("", ""))[0]
-            if not pids or not gids:
+    for pos, rank in enumerate(RANKS):
+        n = hit = 0
+        for _, ptid, gtid in pairs:
+            pchain = chains.get(ptid, "")
+            gchain = chains.get(gtid, "")
+            if not pchain or not gchain:
                 continue
-            pvec = pids.split("|")
-            gvec = gids.split("|")
-            if i >= len(pvec) or i >= len(gvec):
+            pvec = pchain.split("|")
+            gvec = gchain.split("|")
+            if pos >= len(pvec) or pos >= len(gvec):
                 continue
-            pid, gid = pvec[i], gvec[i]
             # the reference counts empty (rank-truncated) slots — only "NA"
             # is skipped — so a genus-level prediction scores as incorrect
             # at species rank rather than being excluded (eval_cami.py:544)
-            if pid == "NA" or gid == "NA":
+            if pvec[pos] == "NA" or gvec[pos] == "NA":
                 continue
-            tot += 1
-            if pid == gid:
-                ok += 1
-        per_rank[r] = {"n": tot, "acc": (100.0 * ok / tot if tot else 0.0), "correct": ok}
+            n += 1
+            hit += int(pvec[pos] == gvec[pos])
+        per_rank[rank] = {"n": n, "acc": (100.0 * hit / n if n else 0.0), "correct": hit}
 
     exact_path = os.path.join(outdir, "contigs_exact.tsv")
     perrank_path = os.path.join(outdir, "contigs_per_rank.tsv")
@@ -588,20 +628,20 @@ def eval_contigs(
         with open(perrank_path, "w", newline="") as w:
             wr = csv.writer(w, delimiter="\t")
             wr.writerow(["rank", "n", "correct", "accuracy_percent"])
-            for r in RANKS:
-                m = per_rank.get(r, {"n": 0, "correct": 0, "acc": 0.0})
-                wr.writerow([r, m["n"], m["correct"], f"{m['acc']:.4f}"])
+            for rank in RANKS:
+                m = per_rank.get(rank, {"n": 0, "correct": 0, "acc": 0.0})
+                wr.writerow([rank, m["n"], m["correct"], f"{m['acc']:.4f}"])
     else:
-        for p in (exact_path, perrank_path):
-            if os.path.exists(p):
-                os.remove(p)
+        for stale in (exact_path, perrank_path):
+            if os.path.exists(stale):
+                os.remove(stale)
 
     return {
         "usable_pairs": usable,
         "exact": exact,
         "per_rank": per_rank,
-        "pred_n": len(pred_tid),
-        "gt_n": len(gt_map),
+        "pred_n": len(predictions),
+        "gt_n": len(truth),
     }
 
 
@@ -626,27 +666,29 @@ def evaluate(
     taxdb = _load_taxdb(taxonomy_dir)
     gt_files = [truth_contigs] if truth_contigs else []
 
-    pred_prof = load_profile_any(pred_profile, taxdb)
-    truth_prof = load_profile_any(truth_profile, taxdb)
-    need_pred_fb = all(not pred_prof[r] for r in RANKS)
-    need_truth_fb = all(not truth_prof[r] for r in RANKS)
+    pred_prof = read_profile(pred_profile, taxdb)
+    truth_prof = read_profile(truth_profile, taxdb)
 
+    # profile fallback: rebuild either side from its per-contig labels
+    rebuild_pred = all(not pred_prof[r] for r in RANKS)
+    rebuild_truth = all(not truth_prof[r] for r in RANKS)
     lens: Dict[str, int] = {}
-    if need_pred_fb or need_truth_fb:
-        lens = fasta_lengths([pred_fasta, truth_fasta])
-    if need_pred_fb and pred_contigs:
+    if rebuild_pred or rebuild_truth:
+        lens = sequence_lengths([pred_fasta, truth_fasta])
+    if rebuild_pred and pred_contigs:
         idmap = (
             IdentifierMap.from_detailed_taxonomy(taxmap)
             if taxmap and os.path.isfile(taxmap)
             else None
         )
-        cont2tid = preds_taxid_from_classified(pred_contigs, taxdb, idmap, paf)
-        pred_prof = profiles_from_contig_maps(cont2tid, lens, taxdb)
-    if need_truth_fb and gt_files:
-        gt_map: Dict[str, str] = {}
-        for g in gt_files:
-            gt_map.update(load_gt_contigs(g))
-        truth_prof = profiles_from_contig_maps(gt_map, lens, taxdb)
+        pred_prof = rebuild_profile(
+            resolve_contig_taxids(pred_contigs, taxdb, idmap, paf), lens, taxdb
+        )
+    if rebuild_truth and gt_files:
+        truth_map: Dict[str, str] = {}
+        for gtf in gt_files:
+            truth_map.update(read_truth_assignments(gtf))
+        truth_prof = rebuild_profile(truth_map, lens, taxdb)
 
     with open(os.path.join(outdir, "profile_summary.tsv"), "w", newline="") as w:
         wr = csv.writer(w, delimiter="\t")
@@ -663,13 +705,17 @@ def evaluate(
                 "FN",
             ]
         )
-        for r in RANKS:
-            l1, bc = l1_and_braycurtis(pred_prof[r], truth_prof[r])
-            pr, rc, f1, tp, fp, fn = prf_presence(pred_prof[r], truth_prof[r], presence_thresh)
-            wr.writerow([r, f"{l1:.4f}", f"{bc:.4f}", f"{pr:.2f}", f"{rc:.2f}", f"{f1:.2f}", tp, fp, fn])
+        for rank in RANKS:
+            l1, bc = profile_distance(pred_prof[rank], truth_prof[rank])
+            pr, rc, f1, tp, fp, fn = presence_prf(
+                pred_prof[rank], truth_prof[rank], presence_thresh
+            )
+            wr.writerow(
+                [rank, f"{l1:.4f}", f"{bc:.4f}", f"{pr:.2f}", f"{rc:.2f}", f"{f1:.2f}", tp, fp, fn]
+            )
 
     if pred_contigs and gt_files:
-        eval_contigs(
+        score_contigs(
             pred_contigs,
             gt_files,
             taxdb,
@@ -684,27 +730,30 @@ def evaluate(
     # evaluator's extras, reference tools/eval_cami_prior.py:435-446)
     with open(os.path.join(outdir, "summary.txt"), "w") as w:
         w.write("# Profile-level metrics (per rank)\n")
-        for r in RANKS:
-            l1, bc = l1_and_braycurtis(pred_prof[r], truth_prof[r])
-            pr, rc, f1, tp, fp, fn = prf_presence(pred_prof[r], truth_prof[r], presence_thresh)
+        for rank in RANKS:
+            l1, bc = profile_distance(pred_prof[rank], truth_prof[rank])
+            pr, rc, f1, tp, fp, fn = presence_prf(
+                pred_prof[rank], truth_prof[rank], presence_thresh
+            )
             w.write(
-                f"{r:14s}  L1={l1:.3f}  BC={bc:.3f}%  "
+                f"{rank:14s}  L1={l1:.3f}  BC={bc:.3f}%  "
                 f"P/R/F1={pr:.1f}/{rc:.1f}/{f1:.1f}% (TP={tp}, FP={fp}, FN={fn})\n"
             )
-    for r in RANKS:
-        keys = set(pred_prof[r]) | set(truth_prof[r])
-        if not keys:
+    for rank in RANKS:
+        taxa = set(pred_prof[rank]) | set(truth_prof[rank])
+        if not taxa:
             continue
-        with open(os.path.join(outdir, f"profile_diffs_{r}.tsv"), "w", newline="") as w:
+        with open(os.path.join(outdir, f"profile_diffs_{rank}.tsv"), "w", newline="") as w:
             wr = csv.writer(w, delimiter="\t")
             wr.writerow(["taxid", "pred_pct", "truth_pct", "diff"])
-            for k2 in sorted(
-                keys,
-                key=lambda t: -abs(pred_prof[r].get(t, 0.0) - truth_prof[r].get(t, 0.0)),
-            ):
-                a = pred_prof[r].get(k2, 0.0)
-                b = truth_prof[r].get(k2, 0.0)
-                wr.writerow([k2, f"{a:.6f}", f"{b:.6f}", f"{a - b:.6f}"])
+            by_gap = sorted(
+                taxa,
+                key=lambda t: -abs(pred_prof[rank].get(t, 0.0) - truth_prof[rank].get(t, 0.0)),
+            )
+            for taxon in by_gap:
+                a = pred_prof[rank].get(taxon, 0.0)
+                b = truth_prof[rank].get(taxon, 0.0)
+                wr.writerow([taxon, f"{a:.6f}", f"{b:.6f}", f"{a - b:.6f}"])
 
     with open(os.path.join(outdir, "_debug_info.txt"), "w") as w:
         w.write(f"pred_profile_path: {pred_profile}\n")

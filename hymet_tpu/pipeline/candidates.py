@@ -25,33 +25,34 @@ DEFAULT_MAX_CANDIDATES = 5000
 SUMMARY_FILES = ("assembly_summary_refseq.txt", "assembly_summary_genbank.txt")
 
 
+def _iter_screen_rows(path: str):
+    """Yield (identity, reference id) from one sorted-screen tab file,
+    dropping malformed rows; IO errors end the file early."""
+    try:
+        with open(path, "r", encoding="utf-8", errors="ignore") as handle:
+            for raw in handle:
+                cols = raw.rstrip("\n").split("\t")
+                if len(cols) < 5 or not cols[4].strip():
+                    continue
+                try:
+                    yield float(cols[0]), cols[4].strip()
+                except ValueError:
+                    continue
+    except OSError:
+        return
+
+
 def load_scores(files: Iterable[str]) -> Dict[str, float]:
-    """Best screen score per candidate from sorted-screen tabs (col 1 =
-    identity, col 5 = reference id)."""
-    scores: Dict[str, float] = {}
-    for file in files:
-        if not os.path.exists(file):
+    """Best screen identity per candidate across all screen tab files
+    (col 1 = identity, col 5 = reference id)."""
+    best: Dict[str, float] = {}
+    for path in files:
+        if not os.path.exists(path):
             continue
-        try:
-            with open(file, "r", encoding="utf-8", errors="ignore") as handle:
-                for line in handle:
-                    if not line.strip():
-                        continue
-                    parts = line.rstrip("\n").split("\t")
-                    if len(parts) < 5:
-                        continue
-                    candidate = parts[4].strip()
-                    if not candidate:
-                        continue
-                    try:
-                        score = float(parts[0])
-                    except ValueError:
-                        continue
-                    if candidate not in scores or score > scores[candidate]:
-                        scores[candidate] = score
-        except OSError:
-            continue
-    return scores
+        for identity, ref in _iter_screen_rows(path):
+            if best.get(ref, float("-inf")) < identity:
+                best[ref] = identity
+    return best
 
 
 def accession_from_filename(candidate: str) -> str:

@@ -10,13 +10,13 @@ import pytest
 from hymet_tpu.evalx.eval_cami import (
     RANKS,
     evaluate,
-    eval_contigs,
-    l1_and_braycurtis,
-    load_gt_contigs,
-    load_profile_any,
-    normalize_taxid,
-    prf_presence,
-    profiles_from_contig_maps,
+    presence_prf,
+    profile_distance,
+    read_profile,
+    read_truth_assignments,
+    rebuild_profile,
+    score_contigs,
+    taxid_digits,
 )
 
 REF = Path("/root/reference")
@@ -27,32 +27,32 @@ ZYMO_TRUTH_CONTIGS = REF / "case/truth/zymo_mc/truth_contigs.tsv"
 def test_l1_and_bc():
     a = {"1": 60.0, "2": 40.0}
     b = {"1": 50.0, "3": 50.0}
-    l1, bc = l1_and_braycurtis(a, b)
+    l1, bc = profile_distance(a, b)
     assert l1 == pytest.approx(0.5 * (10 + 40 + 50))
     shared = 50.0
     assert bc == pytest.approx((1 - 2 * shared / 200.0) * 100)
     # empty ranks score BC=100 (reference profile_summary semantics)
-    assert l1_and_braycurtis({}, {}) == (0.0, 100.0)
+    assert profile_distance({}, {}) == (0.0, 100.0)
 
 
-def test_prf_presence():
+def test_presence_prf():
     a = {"1": 50.0, "2": 50.0, "3": 0.05}  # 3 below threshold
     b = {"1": 80.0, "4": 20.0}
-    p, r, f1, tp, fp, fn = prf_presence(a, b)
+    p, r, f1, tp, fp, fn = presence_prf(a, b)
     assert (tp, fp, fn) == (1, 1, 1)
     assert p == pytest.approx(50.0) and r == pytest.approx(50.0)
 
 
-def test_normalize_taxid():
-    assert normalize_taxid("taxid:12345") == "12345"
-    assert normalize_taxid("562") == "562"
-    assert normalize_taxid("abc") == ""
-    assert normalize_taxid("") == ""
+def test_taxid_digits():
+    assert taxid_digits("taxid:12345") == "12345"
+    assert taxid_digits("562") == "562"
+    assert taxid_digits("abc") == ""
+    assert taxid_digits("") == ""
 
 
 @pytest.mark.skipif(not ZYMO_TRUTH_PROFILE.exists(), reason="reference absent")
 def test_parse_real_zymo_truth_profile():
-    prof = load_profile_any(str(ZYMO_TRUTH_PROFILE), None)
+    prof = read_profile(str(ZYMO_TRUTH_PROFILE), None)
     # 2 superkingdoms, species sum to 100
     assert len(prof["superkingdom"]) == 2
     assert sum(prof["species"].values()) == pytest.approx(100.0, abs=0.01)
@@ -78,7 +78,7 @@ def test_self_evaluation_perfect(tmp_path):
 
 @pytest.mark.skipif(not ZYMO_TRUTH_CONTIGS.exists(), reason="reference absent")
 def test_load_real_zymo_truth_contigs():
-    m = load_gt_contigs(str(ZYMO_TRUTH_CONTIGS))
+    m = read_truth_assignments(str(ZYMO_TRUTH_CONTIGS))
     assert len(m) == 893  # the Zymo case-study contig count
     assert m["ctg1"] == "1613"
 
@@ -96,7 +96,7 @@ def test_contig_eval_cascade(tmp_path, mini_taxdb):
     truth.write_text(
         "contig_id\ttaxid\nc1\t562\nc2\t28901\nc3\t1423\n"
     )
-    res = eval_contigs(str(pred), [str(truth)], mini_taxdb, str(tmp_path))
+    res = score_contigs(str(pred), [str(truth)], mini_taxdb, str(tmp_path))
     assert res["usable_pairs"] == 2  # c3 unresolvable
     assert res["exact"] == 2
     assert res["per_rank"]["species"]["acc"] == 100.0
@@ -112,17 +112,17 @@ def test_contig_eval_strain_collapses_to_species(tmp_path, mini_taxdb):
     )
     truth = tmp_path / "truth.tsv"
     truth.write_text("contig_id\ttaxid\nc1\t562\n")
-    res = eval_contigs(str(pred), [str(truth)], mini_taxdb, str(tmp_path))
+    res = score_contigs(str(pred), [str(truth)], mini_taxdb, str(tmp_path))
     # deepest resolvable: the strain name maps to taxid 511145 != 562 at
     # exact level, but species-rank accuracy holds
     assert res["usable_pairs"] == 1
     assert res["per_rank"]["species"]["acc"] == 100.0
 
 
-def test_profiles_from_contig_maps_length_weighted(mini_taxdb):
+def test_rebuild_profile_length_weighted(mini_taxdb):
     contig2tid = {"c1": "562", "c2": "28901"}
     lengths = {"c1": 3000, "c2": 1000}
-    prof = profiles_from_contig_maps(contig2tid, lengths, mini_taxdb)
+    prof = rebuild_profile(contig2tid, lengths, mini_taxdb)
     assert prof["species"]["562"] == pytest.approx(75.0)
     assert prof["species"]["28901"] == pytest.approx(25.0)
     # family rank: both Enterobacteriaceae -> 100%
@@ -134,7 +134,7 @@ def test_profile_parse_header_taxid_format(tmp_path):
     p.write_text(
         "taxid\trank\tpercentage\n562\tspecies\t60.0\n28901\tspecies\t40.0\n"
     )
-    prof = load_profile_any(str(p), None)
+    prof = read_profile(str(p), None)
     assert prof["species"]["562"] == pytest.approx(60.0)
 
 
@@ -144,5 +144,5 @@ def test_profile_parse_taxpath_format(tmp_path):
         "rank\ttaxpath\tpercentage\n"
         "species\t2|1224|1236|91347|543|561|562\t100.0\n"
     )
-    prof = load_profile_any(str(p), None)
+    prof = read_profile(str(p), None)
     assert prof["species"]["562"] == pytest.approx(100.0)
