@@ -312,24 +312,25 @@ def bench_pipeline() -> dict:
     if acc < 0.9:
         log("WARNING: accuracy below 90% — the speed number is suspect")
 
-    best = None
-    best_timings = None
-    deadline = time.time() + 600.0
-    runs = 0
-    while runs < 2 or (time.time() < deadline and runs < 4):
-        total_s, timings, classified = _run_once(
+    from hymet_tpu.harness.timing import best_run, spread_note, timed_groups
+
+    def _timed():
+        total_s, timings, _ = _run_once(
             w, os.path.join(w["world"], "out_timed"), cache_root
         )
-        runs += 1
         log(
-            f"timed run {runs}: {total_s:.2f}s ("
+            f"timed run: {total_s:.2f}s ("
             + " ".join(f"{k}={v:.2f}s" for k, v in timings.items())
             + ")"
         )
-        if best is None or total_s < best:
-            best, best_timings = total_s, timings
+        return total_s, timings
+
+    runs = timed_groups(_timed, min_runs=2, max_runs=4, budget_s=600.0)
+    # the pipeline times itself inside _run_once (excludes outdir cleanup)
+    best, best_timings = best_run([r for _, r in runs])
     cps = w["n_contigs"] / best
     mbps = w["total_bp"] / best / 1e6
+    log(f"runs: {spread_note([(r[0], None) for _, r in runs])}")
     log(
         f"best {best:.2f}s -> {cps:.1f} contigs/s ({mbps:.1f} Mbp/s); "
         f"stages: " + " ".join(f"{k}={v:.2f}s" for k, v in best_timings.items())
@@ -415,28 +416,24 @@ def bench_sketch() -> dict:
 
     # steady-state timing; batches pre-staged on device (the dev tunnel's
     # host->device path is ~3.5 MB/s, which real deployments don't have)
+    from hymet_tpu.harness.timing import best_run, force_readback, spread_note, timed_groups
+
     _stage = jax.jit(lambda x: x + jnp.uint8(0))
     batches = [_stage(jnp.asarray(make_batch(2 + i))) for i in range(4)]
     jax.block_until_ready(batches)
-    group_times = []
-    deadline = time.time() + 180.0
-    while len(group_times) < 6 or (time.time() < deadline and len(group_times) < 12):
-        if time.time() > deadline and group_times:
-            break
-        t0 = time.time()
+
+    def _group():
         for b in batches:
             eng.update_codes(b)
-        # 4-byte readback: forces execution (block_until_ready on a
-        # donation-aliased buffer can return before the work runs)
-        np.asarray(eng.counts[:1])
-        group_times.append(time.time() - t0)
-    best = min(group_times)
+        # forced readback: block_until_ready on a donation-aliased buffer
+        # can return before the work runs (harness/timing.py)
+        force_readback(eng.counts)
+
+    runs = timed_groups(_group, min_runs=6, max_runs=12, budget_s=180.0)
+    best, _ = best_run(runs)
     bp_group = len(batches) * BATCH_ROWS * BATCH_LEN
     gbps = bp_group / best / 1e9
-    log(
-        f"groups: best {best:.3f}s median {sorted(group_times)[len(group_times) // 2]:.3f}s "
-        f"worst {max(group_times):.3f}s over {len(group_times)} groups of {bp_group / 1e9:.3f} Gbp"
-    )
+    log(f"groups: {spread_note(runs)} of {bp_group / 1e9:.3f} Gbp each")
 
     t0 = time.time()
     res = eng.finalize()
@@ -509,28 +506,24 @@ def bench_align() -> dict:
     chains = aligner._chains_for_batch(batch(0))
     log(f"warmup (compile) {time.time() - t0:.1f}s; {len(chains)} chains")
 
+    from hymet_tpu.harness.timing import best_run, spread_note, timed_groups
+
     batches = [batch(1 + i) for i in range(3)]
-    times = []
-    host_s = 0.0
-    deadline = time.time() + 180.0
-    while len(times) < 3 or (time.time() < deadline and len(times) < 8):
-        if time.time() > deadline and times:
-            break
-        t0 = time.time()
-        n_ch = 0
+
+    def _group():
         # dispatch-ahead like map_batch: all group programs enqueue before
-        # the first fetch, so host _Chain builds overlap device compute
+        # the first fetch, so host _Chain builds overlap device compute;
+        # _finish_batch fetches real chain rows, which forces execution
         pend = [aligner._dispatch_batch(b) for b in batches]
-        for p in pend:
-            n_ch += len(aligner._finish_batch(p))
-        times.append(time.time() - t0)
-    best = min(times)
+        return sum(len(aligner._finish_batch(p)) for p in pend)
+
+    runs = timed_groups(_group, min_runs=3, max_runs=8, budget_s=180.0)
+    best, n_ch = best_run(runs)
     bp_group = len(batches) * rows * pad
     gbps = bp_group / best / 1e9
     log(
-        f"groups: best {best:.3f}s median {sorted(times)[len(times) // 2]:.3f}s "
-        f"over {len(times)} groups of {bp_group / 1e9:.4f} Gbp; "
-        f"last group chains={n_ch}"
+        f"groups: {spread_note(runs)} of {bp_group / 1e9:.4f} Gbp each; "
+        f"last group chains={runs[-1][1]}"
     )
     # host-leg share: time the _Chain build alone on the last device rows
     return {
@@ -601,25 +594,24 @@ def bench_align_stages() -> dict:
         (5, "anchor_sort"),
         (0, "full"),
     ]
-    def _force(out):
-        # forced 4-byte-scale readback (block_until_ready can lie under
-        # donation; a full-array fetch would bill tunnel transfer time
-        # to whichever stage returns the biggest output)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf[(slice(0, 1),) * leaf.ndim] if leaf.ndim else leaf)
+    from hymet_tpu.harness.timing import best_run, force_readback, timed_groups
 
+    # force_readback fetches O(1) bytes of the first leaf: a full-array
+    # fetch would bill tunnel transfer time to whichever stage returns
+    # the biggest output
     best: dict = {}
     for stage, name in stages:
         t0 = time.time()
-        _force(_extract_chains_fused(*args, stage=stage, **kw))
+        force_readback(_extract_chains_fused(*args, stage=stage, **kw))
         log(f"stage {name}: warmup (compile) {time.time() - t0:.1f}s")
-        times = []
-        for _ in range(6):
-            t0 = time.time()
-            _force(_extract_chains_fused(*args, stage=stage, **kw))
-            times.append(time.time() - t0)
-        best[name] = min(times)
-        log(f"stage {name}: best {best[name]:.4f}s over {len(times)}")
+        runs = timed_groups(
+            lambda: force_readback(_extract_chains_fused(*args, stage=stage, **kw)),
+            min_runs=6,
+            max_runs=6,
+            budget_s=120.0,
+        )
+        best[name], _ = best_run(runs)
+        log(f"stage {name}: best {best[name]:.4f}s over {len(runs)}")
     prev = 0.0
     for _, name in stages:
         log(
@@ -691,26 +683,20 @@ def bench_sketch_large() -> dict:
         for i in range(4)
     ]
     jax.block_until_ready(batches)
-    group_times = []
-    deadline = time.time() + 180.0
-    while len(group_times) < 4 or (time.time() < deadline and len(group_times) < 10):
-        if time.time() > deadline and group_times:
-            break
-        t0 = time.time()
+    from hymet_tpu.harness.timing import best_run, force_readback, spread_note, timed_groups
+
+    def _group():
         for b in batches:
             eng.update_codes(b)
-        # 4-byte readback: forces execution (block_until_ready on a
-        # donation-aliased buffer can return before the work runs)
-        np.asarray(eng.counts[:1])
-        group_times.append(time.time() - t0)
-    best = min(group_times)
+        # forced readback: this exact site produced the round-2 "0.000 s
+        # groups" deferred-execution bug (docs/BENCH_NOTES.md)
+        force_readback(eng.counts)
+
+    runs = timed_groups(_group, min_runs=4, max_runs=10, budget_s=180.0)
+    best, _ = best_run(runs)
     bp_group = len(batches) * BATCH_ROWS * BATCH_LEN
     gbps = bp_group / best / 1e9
-    log(
-        f"groups: best {best:.3f}s median "
-        f"{sorted(group_times)[len(group_times) // 2]:.3f}s over "
-        f"{len(group_times)} groups of {bp_group / 1e9:.3f} Gbp (F={F:,})"
-    )
+    log(f"groups: {spread_note(runs)} of {bp_group / 1e9:.3f} Gbp each (F={F:,})")
     t0 = time.time()
     res = eng.finalize()
     log(f"finalize {time.time() - t0:.2f}s; max shared {int(res.shared.max())}")
@@ -742,8 +728,9 @@ def main() -> None:
             result = bench_pipeline()
     finally:
         sys.stdout = real_stdout
-    if os.environ.get("_BENCH_CPU_FALLBACK") == "1":
-        result["metric"] += "_cpu_fallback"
+    from hymet_tpu.harness.timing import tag_fallback
+
+    result = tag_fallback(result, os.environ.get("_BENCH_CPU_FALLBACK") == "1")
     print(json.dumps(result))
 
 

@@ -17,8 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 # f64 on the CPU test backend so LCA parity tests are bit-exact vs the
-# reference's Python-float semantics. Device code must stay dtype-explicit.
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+# reference's Python-float semantics. Device code must stay dtype-explicit —
+# HYMET_TEST_X64=0 runs the suite in the production TPU x64-OFF regime to
+# catch int-width bugs this divergence has already caused once (CLAUDE.md);
+# see tests/test_x64_off.py for the in-suite lane.
+_X64 = os.environ.get("HYMET_TEST_X64", "1") == "1"
+os.environ.setdefault("JAX_ENABLE_X64", "1" if _X64 else "0")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,7 +31,7 @@ import jax  # noqa: E402
 # NOTE: `import pytest` already imports jax (jaxtyping's pytest plugin), so
 # env vars alone are too late for jax.config defaults. Backends initialize
 # lazily, so config.update still takes effect here.
-jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_enable_x64", _X64)
 jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402

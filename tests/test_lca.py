@@ -7,6 +7,7 @@ import os
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from hymet_tpu import RANKS
@@ -103,6 +104,15 @@ def _run_kernel(entries, hier_vectors):
     return np.asarray(chosen), np.asarray(n_chosen), np.asarray(conf), names
 
 
+# x64-ON (default lane): the kernel runs f64 and matches the host oracle
+# bit-exactly. x64-OFF (production TPU regime, HYMET_TEST_X64=0): the
+# requested f64 truncates to f32, so confidence agrees only to f32 eps —
+# lineage/level assertions stay exact in both regimes.
+_CONF_TOL = (
+    dict(rel=0, abs=0) if jax.config.jax_enable_x64 else dict(rel=2e-6, abs=2e-6)
+)
+
+
 def test_kernel_matches_oracle_synthetic(mini_taxdb):
     hier = _hier_from_db(
         mini_taxdb, ["562", "28901", "1423", "1280", "561", "511145", "4932"]
@@ -130,7 +140,7 @@ def test_kernel_matches_oracle_synthetic(mini_taxdb):
         got = "; ".join(f"{RANKS[r]}:{names[int(chosen[i, r])]}" for r in range(n))
         assert got == lineage, f"case {i}"
         assert RANKS[n - 1] == level
-        assert conf[i] == pytest.approx(c, rel=0, abs=0)  # f64: exact
+        assert conf[i] == pytest.approx(c, **_CONF_TOL)
 
 
 def test_kernel_random_fuzz_vs_oracle(mini_taxdb):
@@ -157,7 +167,7 @@ def test_kernel_random_fuzz_vs_oracle(mini_taxdb):
             else "Unknown"
         )
         assert got == lineage, f"case {i}"
-        assert conf[i] == pytest.approx(c, abs=1e-12)
+        assert conf[i] == pytest.approx(c, **_CONF_TOL)
 
 
 @pytest.mark.skipif(not os.path.exists(ZYMO_PAF), reason="reference data absent")
