@@ -561,11 +561,9 @@ def bench_align_stages() -> dict:
     acap, ccap = aligner._device_caps(rows, NW, cap)
     cfg = aligner.cfg
     args = (
-        aligner._idx_hi,
-        aligner._idx_lo,
-        aligner._idx_seq,
-        aligner._idx_pos,
-        aligner._idx_strand,
+        aligner._idx_hl,
+        aligner._idx_roff2,
+        aligner._idx_ps,
         batch_dev,
         index.k,
         index.w,
@@ -578,7 +576,7 @@ def bench_align_stages() -> dict:
         cfg.min_mlen,
     )
     kw = dict(
-        bkt_off=aligner._bkt_off,
+        bkt2=aligner._bkt2,
         bkt_bits=aligner._bkt_bits,
         bkt_steps=aligner._bkt_steps,
         bsearch=os.environ.get("HYMET_SLOT_BSEARCH", "1") == "1",

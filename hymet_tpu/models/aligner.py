@@ -88,19 +88,23 @@ class AlignerConfig:
     batch_pad: int = 1 << 16  # query padding quantum
 
 
-@functools.partial(jax.jit, static_argnames=("k", "w", "max_occ", "band_bits", "cap"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "max_occ", "band_bits", "cap", "bkt_bits", "bkt_steps"),
+)
 def _extract_collect_sort_fused(
-    idx_hi,
-    idx_lo,
-    idx_seq,
-    idx_pos,
-    idx_strand,
+    idx_hl,
+    idx_roff2,
+    idx_ps,
     batch,  # [B, L] uint8 codes
     k: int,
     w: int,
     max_occ: int,
     band_bits: int,
     cap: int,
+    bkt2=None,
+    bkt_bits: int = 0,
+    bkt_steps: int = 0,
 ):
     """Fully-fused device path: minimizer extraction -> on-device
     compaction (sort kept-first, slice to `cap`) -> anchor search ->
@@ -134,11 +138,9 @@ def _extract_collect_sort_fused(
     iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
     valid = iota < n_kept
     out = _collect_and_sort_anchors(
-        idx_hi,
-        idx_lo,
-        idx_seq,
-        idx_pos,
-        idx_strand,
+        idx_hl,
+        idx_roff2,
+        idx_ps,
         c_hi[:cap],
         c_lo[:cap],
         c_pos[:cap].astype(jnp.int32),
@@ -147,31 +149,87 @@ def _extract_collect_sort_fused(
         valid,
         max_occ,
         band_bits,
+        bkt2,
+        bkt_bits,
+        bkt_steps,
     )
     return out + (n_kept,)
 
 
-def build_bucket_table(hi: np.ndarray, m: int):
-    """Top-bits bucket table over a sorted minimizer-hash array: for
-    bucket b (the hash's top `bits` bits), ``off[b]:off[b+1]`` bounds its
-    run, so the per-anchor binary search needs only ~log2(max bucket)
-    steps instead of log2(M) — each step is a full-stream gather, so this
-    cuts the aligner's dominant steady-state cost ~2.5-3x at real index
-    sizes. Returns (off [2^bits + 1] int32, bits, steps). `m` = number of
-    REAL entries (sharded arrays pad the tail with all-ones sentinels,
-    which must stay unreachable)."""
+def build_search_tables(
+    hashes: np.ndarray,
+    seq_id: np.ndarray,
+    pos: np.ndarray,
+    strand: np.ndarray,
+    u_cap: Optional[int] = None,
+    bits: Optional[int] = None,
+):
+    """Gather-lean device tables for the anchor search.
+
+    Round-3 attribution (docs/BENCH_NOTES.md): the index search was 71%
+    of the align batch and the anchor payload gathers another 25% — all
+    random HBM gathers at ~16 M elem/s. These tables cut the gather count
+    ~4x at identical outputs:
+
+    - the sorted minimizer hashes dedupe to [U] unique (hi, lo) pairs
+      INTERLEAVED as one [U, 2] row table, so each binary-search step is
+      a single 8-byte row gather instead of two 4-byte gathers from
+      separate arrays — and only ONE lower-bound search runs, because
+      occurrence counts come from the run-offset table rather than a
+      second upper-bound search;
+    - run offsets pair as [U, 2] (start, end) rows — one gather yields
+      (left, occ);
+    - the per-entry payload packs to [M, 2] int32 rows
+      (pos, seq << 1 | strand), so anchor collection gathers one row per
+      anchor instead of three scalars (seq < 2^26 and pos < 2^28 by the
+      module key layout, so both fields are int32-exact);
+    - the top-bits bucket table (search confinement to ~log2(max bucket)
+      steps) stores (start, end) pairs [2^bits, 2] for the same reason.
+
+    Returns (hl [U,2] u32, roff2 [U,2] i32, ps [M,2] i32,
+    bkt2 [2^bits,2] i32, bkt_bits, bkt_steps, U). ``u_cap`` pads the
+    unique table (sharded use: uniform program shapes; pad rows are
+    all-ones hashes with (0, 0) offsets, i.e. occ 0 — unreachable).
+    ``bits`` forces the bucket width (sharded use: one width across
+    shards keeps the shard_map program uniform)."""
     import math
 
-    m = int(m)
-    if m <= 0:
-        return np.zeros(2, dtype=np.int32), 1, 1
-    # aim for ~128-entry buckets; cap table at 2^20 (4 MB)
-    bits = min(20, max(1, int(math.ceil(math.log2(m))) - 7))
-    tops = (hi[:m].astype(np.uint64) >> np.uint64(32 - bits)).astype(np.int64)
+    M = int(hashes.shape[0])
+    if M == 0:
+        u_pad = max(u_cap or 1, 1)
+        hl = np.full((u_pad, 2), 0xFFFFFFFF, dtype=np.uint32)
+        roff2 = np.zeros((u_pad, 2), dtype=np.int32)
+        ps = np.zeros((1, 2), dtype=np.int32)
+        bits = bits or 1
+        bkt2 = np.zeros((1 << bits, 2), dtype=np.int32)
+        return hl, roff2, ps, bkt2, bits, 1, 0
+    change = np.ones(M, dtype=bool)
+    change[1:] = hashes[1:] != hashes[:-1]
+    starts = np.flatnonzero(change)
+    U = starts.shape[0]
+    uniq = hashes[starts]
+    ends = np.empty(U, dtype=np.int64)
+    ends[:-1] = starts[1:]
+    ends[-1] = M
+    u_pad = max(u_cap or U, U)
+    hl = np.full((u_pad, 2), 0xFFFFFFFF, dtype=np.uint32)
+    hl[:U, 0] = (uniq >> np.uint64(32)).astype(np.uint32)
+    hl[:U, 1] = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    roff2 = np.zeros((u_pad, 2), dtype=np.int32)
+    roff2[:U, 0] = starts
+    roff2[:U, 1] = ends
+    ps = np.empty((M, 2), dtype=np.int32)
+    ps[:, 0] = pos.astype(np.int32)
+    ps[:, 1] = (seq_id.astype(np.int32) << 1) | strand.astype(np.int32)
+    if bits is None:
+        # aim for ~128-entry buckets; cap table at 2^20 rows (8 MB)
+        bits = min(20, max(1, int(math.ceil(math.log2(max(U, 2)))) - 7))
+    tops = (uniq >> np.uint64(64 - bits)).astype(np.int64)
     off = np.searchsorted(tops, np.arange((1 << bits) + 1)).astype(np.int32)
     max_bucket = int(np.diff(off).max())
     steps = max(1, int(math.ceil(math.log2(max_bucket + 1))))
-    return off, bits, steps
+    bkt2 = np.stack([off[:-1], off[1:]], axis=1)
+    return hl, roff2, ps, bkt2, bits, steps, U
 
 
 def expected_anchor_occ(hashes: np.ndarray, max_occ: int) -> float:
@@ -196,56 +254,52 @@ def _round_pow2(x: float, lo: int) -> int:
     return max(lo, 1 << int(np.ceil(np.log2(max(x, 1.0)))))
 
 
-def _search_occ(idx_hi, idx_lo, q_hi, q_lo, bkt_off=None, bkt_bits=0, bkt_steps=0):
-    """Double lower/upper-bound binary search of query minimizers in the
-    sorted index: returns (left, occ) per query minimizer. With a bucket
-    table (see :func:`build_bucket_table`), the search is confined to the
-    query hash's top-bits bucket."""
+def _search_occ(idx_hl, idx_roff2, q_hi, q_lo, bkt2=None, bkt_bits=0, bkt_steps=0):
+    """Single lower-bound binary search of query minimizers in the UNIQUE
+    hash table (see :func:`build_search_tables`): returns (left, occ) per
+    query minimizer. Each step gathers one interleaved [., 2] limb row;
+    occurrence counts come from the (run start, run end) offset row at
+    the landing position — no second upper-bound search. With the bucket
+    pair table the search is confined to the query hash's top-bits
+    bucket (~log2(max bucket) steps instead of log2(U))."""
     import math
 
-    M = idx_hi.shape[0]
-    if bkt_off is not None:
+    U = idx_hl.shape[0]
+    if bkt2 is not None:
         steps = bkt_steps
         top = (q_hi >> (32 - bkt_bits)).astype(jnp.int32)
-        lo0 = bkt_off[top]
-        hi0 = bkt_off[top + 1]
+        brow = bkt2[top]  # [N, 2] one row gather for both bucket bounds
+        lo = brow[:, 0]
+        hi = brow[:, 1]
     else:
-        steps = max(1, int(math.ceil(math.log2(M + 1))))  # M+1 insertion pts
-        lo0 = hi0 = None
+        steps = max(1, int(math.ceil(math.log2(U + 1))))  # U+1 insertion pts
+        lo = jnp.zeros_like(q_hi, dtype=jnp.int32)
+        hi = jnp.full_like(lo, U)
 
-    def search(le):
-        if bkt_off is not None:
-            lo_b, hi_b = lo0, hi0
-        else:
-            lo_b = jnp.zeros_like(q_hi, dtype=jnp.int32)
-            hi_b = jnp.full_like(lo_b, M)
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        row = idx_hl[mid]  # [N, 2] — ONE row gather per step
+        go_right = (row[:, 0] < q_hi) | ((row[:, 0] == q_hi) & (row[:, 1] < q_lo))
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
 
-        def body(_, carry):
-            lo, hi = carry
-            mid = (lo + hi) // 2
-            a_hi = idx_hi[mid]
-            a_lo = idx_lo[mid]
-            if le:
-                go_right = (a_hi < q_hi) | ((a_hi == q_hi) & (a_lo <= q_lo))
-            else:
-                go_right = (a_hi < q_hi) | ((a_hi == q_hi) & (a_lo < q_lo))
-            return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
-
-        lo, _ = jax.lax.fori_loop(0, steps, body, (lo_b, hi_b))
-        return lo
-
-    left = search(le=False)
-    right = search(le=True)
-    return left, right - left
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    r = jnp.clip(lo, 0, U - 1)
+    row = idx_hl[r]
+    found = (row[:, 0] == q_hi) & (row[:, 1] == q_lo) & (lo < U)
+    orow = idx_roff2[r]  # [N, 2] (run start, run end) in one gather
+    left = orow[:, 0]
+    occ = jnp.where(found, orow[:, 1] - orow[:, 0], 0)
+    return left, occ
 
 
-@functools.partial(jax.jit, static_argnames=("max_occ", "band_bits"))
+@functools.partial(
+    jax.jit, static_argnames=("max_occ", "band_bits", "bkt_bits", "bkt_steps")
+)
 def _collect_and_sort_anchors(
-    idx_hi,
-    idx_lo,
-    idx_seq,
-    idx_pos,
-    idx_strand,
+    idx_hl,
+    idx_roff2,
+    idx_ps,
     q_hi,  # [N] flat compacted query minimizers
     q_lo,
     qpos,
@@ -254,11 +308,14 @@ def _collect_and_sort_anchors(
     q_valid,
     max_occ: int,
     band_bits: int,
+    bkt2=None,
+    bkt_bits: int = 0,
+    bkt_steps: int = 0,
 ):
     """Anchors for a flat, pre-compacted minimizer list, sorted by
     (query, ref seq, strand|band, qpos). Returns sorted columns + validity."""
-    M = idx_hi.shape[0]
-    left, occ = _search_occ(idx_hi, idx_lo, q_hi, q_lo)
+    M = idx_ps.shape[0]
+    left, occ = _search_occ(idx_hl, idx_roff2, q_hi, q_lo, bkt2, bkt_bits, bkt_steps)
 
     keep = q_valid & (occ > 0) & (occ <= max_occ)
 
@@ -268,9 +325,10 @@ def _collect_and_sort_anchors(
     a_idx = jnp.clip(left[:, None] + j, 0, max(M - 1, 0))
     valid = keep[:, None] & (j < occ[:, None])
 
-    seq = idx_seq[a_idx]
-    rpos = idx_pos[a_idx]
-    rstrand = idx_strand[a_idx].astype(jnp.int32)
+    prow = idx_ps[a_idx]  # [N, max_occ, 2] — one row gather per anchor
+    rpos = prow[..., 0]
+    seq = prow[..., 1] >> 1
+    rstrand = prow[..., 1] & 1
     rel = (qstrand[:, None] ^ rstrand) & 1
     diag = jnp.where(rel == 0, rpos - qpos[:, None], rpos + qpos[:, None])
     band = ((diag + _DIAG_OFF) >> band_bits).astype(jnp.uint32)
@@ -291,11 +349,9 @@ def _collect_and_sort_anchors(
 
 
 def _collect_anchors_slots(
-    idx_hi,
-    idx_lo,
-    idx_seq,
-    idx_pos,
-    idx_strand,
+    idx_hl,
+    idx_roff2,
+    idx_ps,
     q_hi,  # [N] flat compacted query minimizers
     q_lo,
     qpos,
@@ -305,7 +361,7 @@ def _collect_anchors_slots(
     max_occ: int,
     band_bits: int,
     acap: int,
-    bkt_off=None,
+    bkt2=None,
     bkt_bits: int = 0,
     bkt_steps: int = 0,
     bsearch: bool = True,
@@ -339,9 +395,9 @@ def _collect_anchors_slots(
     Returns sorted (k1, k2, qpos, rpos) columns [acap] (_KEY_BIG
     sentinel keys past the end) + n_anchors (> acap means overflow:
     caller must retry with a larger acap)."""
-    M = idx_hi.shape[0]
+    M = idx_ps.shape[0]
     left, occ = _search_occ(
-        idx_hi, idx_lo, q_hi, q_lo, bkt_off, bkt_bits, bkt_steps
+        idx_hl, idx_roff2, q_hi, q_lo, bkt2, bkt_bits, bkt_steps
     )
     if stage == 3:  # bench ablation: index search only (see bench.py)
         return _cksum(left) + _cksum(occ)
@@ -368,9 +424,10 @@ def _collect_anchors_slots(
     avalid = aiota < jnp.minimum(n_anchors, acap)
 
     a_idx = jnp.clip(left[n_i] + j_i, 0, max(M - 1, 0))
-    seq = idx_seq[a_idx]
-    rpos = idx_pos[a_idx]
-    rstrand = idx_strand[a_idx].astype(jnp.int32)
+    prow = idx_ps[a_idx]  # [acap, 2] — ONE payload row gather per anchor
+    rpos = prow[:, 0]
+    seq = prow[:, 1] >> 1
+    rstrand = prow[:, 1] & 1
     aqpos = qpos[n_i]
     rel = (qstrand[n_i] ^ rstrand) & 1
     diag = jnp.where(rel == 0, rpos - aqpos, rpos + aqpos)
@@ -553,11 +610,9 @@ def _chain_reduce_sorted_flat(
 
 
 def _extract_chains_impl(
-    idx_hi,
-    idx_lo,
-    idx_seq,
-    idx_pos,
-    idx_strand,
+    idx_hl,
+    idx_roff2,
+    idx_ps,
     batch,  # [B, L] uint8 codes
     k: int,
     w: int,
@@ -568,7 +623,7 @@ def _extract_chains_impl(
     ccap: int,
     min_cnt: int,
     min_mlen: int,
-    bkt_off=None,
+    bkt2=None,
     bkt_bits: int = 0,
     bkt_steps: int = 0,
     bsearch: bool = True,
@@ -611,11 +666,9 @@ def _extract_chains_impl(
     if stage == 2:  # + minimizer compaction (sort + gathers)
         return _cksum(m_hi.reshape(-1)[sel]) + _cksum(sel) + (n_kept,)
     collected = _collect_anchors_slots(
-        idx_hi,
-        idx_lo,
-        idx_seq,
-        idx_pos,
-        idx_strand,
+        idx_hl,
+        idx_roff2,
+        idx_ps,
         m_hi.reshape(-1)[sel],
         m_lo.reshape(-1)[sel],
         m_pos.reshape(-1)[sel].astype(jnp.int32),
@@ -625,7 +678,7 @@ def _extract_chains_impl(
         max_occ,
         band_bits,
         acap,
-        bkt_off,
+        bkt2,
         bkt_bits,
         bkt_steps,
         bsearch,
@@ -671,11 +724,9 @@ _extract_chains_fused = functools.partial(
 
 @functools.partial(jax.jit, static_argnames=_FUSED_STATICS + ("L",))
 def _extract_chains_fused_packed(
-    idx_hi,
-    idx_lo,
-    idx_seq,
-    idx_pos,
-    idx_strand,
+    idx_hl,
+    idx_roff2,
+    idx_ps,
     packed,  # [B, L/4] 2-bit codes (io.fasta.pack_code_batch)
     mask,  # [B, L/8] validity bits
     L: int,
@@ -688,7 +739,7 @@ def _extract_chains_fused_packed(
     ccap: int,
     min_cnt: int,
     min_mlen: int,
-    bkt_off=None,
+    bkt2=None,
     bkt_bits: int = 0,
     bkt_steps: int = 0,
     bsearch: bool = True,
@@ -705,11 +756,9 @@ def _extract_chains_fused_packed(
 
     batch = unpack_code_batch_jax(packed, mask, L)
     return _extract_chains_impl(
-        idx_hi,
-        idx_lo,
-        idx_seq,
-        idx_pos,
-        idx_strand,
+        idx_hl,
+        idx_roff2,
+        idx_ps,
         batch,
         k,
         w,
@@ -720,7 +769,7 @@ def _extract_chains_fused_packed(
         ccap,
         min_cnt,
         min_mlen,
-        bkt_off,
+        bkt2,
         bkt_bits,
         bkt_steps,
         bsearch,
@@ -781,15 +830,13 @@ class MinimizerAligner:
             )
         self.index = index
         self.cfg = config or AlignerConfig()
-        hi = (index.hashes >> np.uint64(32)).astype(np.uint32)
-        lo = (index.hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        self._idx_hi = jnp.asarray(hi)
-        self._idx_lo = jnp.asarray(lo)
-        self._idx_seq = jnp.asarray(index.seq_id)
-        self._idx_pos = jnp.asarray(index.pos)
-        self._idx_strand = jnp.asarray(index.strand.astype(np.int32))
-        off, bits, steps = build_bucket_table(hi, hi.shape[0])
-        self._bkt_off = jnp.asarray(off)
+        hl, roff2, ps, bkt2, bits, steps, _ = build_search_tables(
+            index.hashes, index.seq_id, index.pos, index.strand
+        )
+        self._idx_hl = jnp.asarray(hl)
+        self._idx_roff2 = jnp.asarray(roff2)
+        self._idx_ps = jnp.asarray(ps)
+        self._bkt2 = jnp.asarray(bkt2)
         self._bkt_bits = bits
         self._bkt_steps = steps
         # sticky overflow-retry multipliers (see _finish_batch)
@@ -921,17 +968,18 @@ class MinimizerAligner:
             # service stalls such compiles for 20-50+ min in bad windows;
             # flip the default when targeting stable TPU hosts.
             outs = _extract_collect_sort_fused(
-                self._idx_hi,
-                self._idx_lo,
-                self._idx_seq,
-                self._idx_pos,
-                self._idx_strand,
+                self._idx_hl,
+                self._idx_roff2,
+                self._idx_ps,
                 batch_j,
                 k,
                 self.index.w,
                 cfg.max_occ,
                 cfg.band_bits,
                 cap,
+                self._bkt2,
+                self._bkt_bits,
+                self._bkt_steps,
             )
             return ("host", cap, outs)
 
@@ -1008,14 +1056,12 @@ class MinimizerAligner:
     def _dispatch_fused(self, data_args, cap: int, acap: int, ccap: int):
         cfg = self.cfg
         idx_args = (
-            self._idx_hi,
-            self._idx_lo,
-            self._idx_seq,
-            self._idx_pos,
-            self._idx_strand,
+            self._idx_hl,
+            self._idx_roff2,
+            self._idx_ps,
         )
         tail_kw = dict(
-            bkt_off=self._bkt_off,
+            bkt2=self._bkt2,
             bkt_bits=self._bkt_bits,
             bkt_steps=self._bkt_steps,
             # binary-search slot compaction is the default; =0 falls back

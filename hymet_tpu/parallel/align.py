@@ -31,7 +31,7 @@ from hymet_tpu.models.aligner import (
     _chains_from_rows,
     _extract_chains_fused,
     _round_pow2,
-    build_bucket_table,
+    build_search_tables,
     emit_paf,
     expected_anchor_occ,
 )
@@ -64,41 +64,44 @@ class ShardedMinimizerAligner:
         bounds = np.linspace(0, len(index.names), n_db + 1).astype(int)
         self.seq_offsets = bounds[:-1]
 
-        M = max(max((s.n_minimizers for s in self.shards), default=1), 1)
-        idx_hi = np.full((n_db, M), 0xFFFFFFFF, dtype=np.uint32)
-        idx_lo = np.full((n_db, M), 0xFFFFFFFF, dtype=np.uint32)
-        idx_seq = np.zeros((n_db, M), dtype=np.int32)
-        idx_pos = np.zeros((n_db, M), dtype=np.int32)
-        idx_strand = np.zeros((n_db, M), dtype=np.int32)
-        # per-shard bucket tables share one bit width (max over shards'
-        # sizes) so the shard_map program is uniform; steps = worst shard
+        # per-shard gather-lean search tables (models.aligner
+        # build_search_tables) padded to uniform shapes so the shard_map
+        # program is identical on every db shard: one unique-hash cap,
+        # one payload length, one bucket width, worst-shard step count
         import math as _math
 
-        bits = min(20, max(1, int(_math.ceil(_math.log2(max(M, 2)))) - 7))
-        bkt_off = np.zeros((n_db, (1 << bits) + 1), dtype=np.int32)
+        M = max(max((s.n_minimizers for s in self.shards), default=1), 1)
+        per = [
+            build_search_tables(sh.hashes, sh.seq_id, sh.pos, sh.strand)
+            for sh in self.shards
+        ]
+        u_cap = max(max((t[6] for t in per), default=1), 1)
+        bits = min(20, max(1, int(_math.ceil(_math.log2(max(u_cap, 2)))) - 7))
+        per = [
+            build_search_tables(
+                sh.hashes, sh.seq_id, sh.pos, sh.strand, u_cap=u_cap, bits=bits
+            )
+            for sh in self.shards
+        ]
+        idx_hl = np.full((n_db, u_cap, 2), 0xFFFFFFFF, dtype=np.uint32)
+        idx_roff2 = np.zeros((n_db, u_cap, 2), dtype=np.int32)
+        idx_ps = np.zeros((n_db, M, 2), dtype=np.int32)
+        bkt2 = np.zeros((n_db, 1 << bits, 2), dtype=np.int32)
         steps = 1
-        for i, sh in enumerate(self.shards):
-            m = sh.n_minimizers
-            idx_hi[i, :m] = (sh.hashes >> np.uint64(32)).astype(np.uint32)
-            idx_lo[i, :m] = (sh.hashes & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-            idx_seq[i, :m] = sh.seq_id
-            idx_pos[i, :m] = sh.pos
-            idx_strand[i, :m] = sh.strand.astype(np.int32)
-            if m > 0:
-                tops = (sh.hashes.astype(np.uint64) >> np.uint64(64 - bits)).astype(np.int64)
-                bkt_off[i] = np.searchsorted(tops, np.arange((1 << bits) + 1)).astype(np.int32)
-                max_bucket = int(np.diff(bkt_off[i]).max())
-                steps = max(steps, int(_math.ceil(_math.log2(max_bucket + 1))) or 1)
+        for i, (hl, roff2, ps, b2, _, st, _) in enumerate(per):
+            idx_hl[i] = hl
+            idx_roff2[i] = roff2
+            idx_ps[i, : ps.shape[0]] = ps
+            bkt2[i] = b2
+            steps = max(steps, st)
         self._bkt_bits = bits
         self._bkt_steps = steps
 
-        db_shard = NamedSharding(mesh, P("db", None))
-        self._bkt_off = jax.device_put(bkt_off, db_shard)
-        self._idx_hi = jax.device_put(idx_hi, db_shard)
-        self._idx_lo = jax.device_put(idx_lo, db_shard)
-        self._idx_seq = jax.device_put(idx_seq, db_shard)
-        self._idx_pos = jax.device_put(idx_pos, db_shard)
-        self._idx_strand = jax.device_put(idx_strand, db_shard)
+        db_shard = NamedSharding(mesh, P("db", None, None))
+        self._bkt2 = jax.device_put(bkt2, db_shard)
+        self._idx_hl = jax.device_put(idx_hl, db_shard)
+        self._idx_roff2 = jax.device_put(idx_roff2, db_shard)
+        self._idx_ps = jax.device_put(idx_ps, db_shard)
         self._collect_cache = {}
         # sticky overflow-retry multipliers (see _finish_batch)
         self._acap_boost = 1
@@ -127,12 +130,10 @@ class ShardedMinimizerAligner:
             shard_map,
             mesh=mesh,
             in_specs=(
-                P("db", None),
-                P("db", None),
-                P("db", None),
-                P("db", None),
-                P("db", None),
-                P("db", None),
+                P("db", None, None),
+                P("db", None, None),
+                P("db", None, None),
+                P("db", None, None),
                 P(),
             ),
             out_specs=(
@@ -143,17 +144,15 @@ class ShardedMinimizerAligner:
             ),
             check_vma=False,
         )
-        def collect(i_hi, i_lo, i_seq, i_pos, i_str, b_off, batch):
+        def collect(i_hl, i_roff2, i_ps, b2, batch):
             # the fully-fused single-device path runs per shard against the
             # local index slice (extraction is recomputed per shard — cheap
             # relative to any host round trip); chains segment on device,
             # so only [ccap, 8] chain rows per shard reach the host
             chains, n_chains, n_kept, n_anchors = _extract_chains_fused(
-                i_hi[0],
-                i_lo[0],
-                i_seq[0],
-                i_pos[0],
-                i_str[0],
+                i_hl[0],
+                i_roff2[0],
+                i_ps[0],
                 batch,
                 k,
                 w,
@@ -164,7 +163,7 @@ class ShardedMinimizerAligner:
                 ccap,
                 cfg.min_cnt,
                 cfg.min_mlen,
-                b_off[0],
+                b2[0],
                 self._bkt_bits,
                 self._bkt_steps,
             )
@@ -250,12 +249,10 @@ class ShardedMinimizerAligner:
         ccap = max(1024, min(4 * cap, 1 << 15)) * self._ccap_boost
         batch_j = jax.device_put(batch, repl)
         outs = self._get_collect(cap, acap, ccap)(
-            self._idx_hi,
-            self._idx_lo,
-            self._idx_seq,
-            self._idx_pos,
-            self._idx_strand,
-            self._bkt_off,
+            self._idx_hl,
+            self._idx_roff2,
+            self._idx_ps,
+            self._bkt2,
             batch_j,
         )
         return (cap, acap, ccap, batch_j, outs)
@@ -289,12 +286,10 @@ class ShardedMinimizerAligner:
             else:
                 break
             outs = self._get_collect(cap, acap, ccap)(
-                self._idx_hi,
-                self._idx_lo,
-                self._idx_seq,
-                self._idx_pos,
-                self._idx_strand,
-                self._bkt_off,
+                self._idx_hl,
+                self._idx_roff2,
+                self._idx_ps,
+                self._bkt2,
                 batch_j,
             )
         c_rows = fetch_global(c_rows)
