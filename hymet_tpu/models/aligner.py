@@ -254,6 +254,14 @@ def _round_pow2(x: float, lo: int) -> int:
     return max(lo, 1 << int(np.ceil(np.log2(max(x, 1.0)))))
 
 
+def _round_4k(x: float, lo: int = 4096) -> int:
+    """Round up to a 4096 multiple: device caps need deterministic (for
+    the compile cache) but TIGHT sizes — search and gather cost scale
+    linearly with the cap, so pow2 rounding's up-to-2x slack was pure
+    waste (round-3 attribution: the search is 71% of the batch)."""
+    return max(lo, int(-(-x // 4096)) * 4096)
+
+
 def _search_occ(idx_hl, idx_roff2, q_hi, q_lo, bkt2=None, bkt_bits=0, bkt_steps=0):
     """Single lower-bound binary search of query minimizers in the UNIQUE
     hash table (see :func:`build_search_tables`): returns (left, occ) per
@@ -840,6 +848,7 @@ class MinimizerAligner:
         self._bkt_bits = bits
         self._bkt_steps = steps
         # sticky overflow-retry multipliers (see _finish_batch)
+        self._cap_boost = 1
         self._acap_boost = 1
         self._ccap_boost = 1
         self._fb_cache: dict = {}  # padded L -> flat-band tables (or None)
@@ -981,7 +990,7 @@ class MinimizerAligner:
                 self._bkt_bits,
                 self._bkt_steps,
             )
-            return ("host", cap, outs)
+            return ("host", cap, batch_j, outs)
 
         if not packed_in:
             if isinstance(batch, np.ndarray):
@@ -996,11 +1005,17 @@ class MinimizerAligner:
         return ("dev", cap, acap, ccap, data_args, outs)
 
     def _minimizer_cap(self, B: int, L: int):
-        """(window count, minimizer compaction cap) for a [B, L] batch:
-        minimizer density ~2/(w+1) => NW/4 is ~2.5x headroom;
-        power-of-two for compile-cache stability."""
+        """(window count, minimizer compaction cap) for a [B, L] batch.
+        Random-sequence minimizer density is 2/(w+1); 1.35x headroom with
+        a 4096-quantum round-up keeps the searched lane count ~1.8x
+        tighter than the old NW/4 pow2 cap (search cost is linear in
+        cap). Low-complexity sequence can exceed the estimate — overflow
+        retries with a sticky doubled cap (one recompile, then sticky),
+        exactly like acap/ccap."""
         NW = L - self.index.k - self.index.w + 2
-        cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
+        density = 2.0 / (self.index.w + 1)
+        cap = _round_4k(B * NW * density * 1.35) * self._cap_boost
+        cap = min(cap, B * NW)
         return NW, cap
 
     def _device_caps(self, B: int, NW: int, cap: int):
@@ -1010,8 +1025,8 @@ class MinimizerAligner:
         pow2-rounded for compile-cache stability, never above the 4*cap
         grid bound; sticky boosts absorb misestimates (one retry
         recompile, then never again for this aligner)."""
-        exp_anchors = B * NW * 0.11 * self._exp_occ
-        acap = min(_round_pow2(1.5 * exp_anchors, 2048), 4 * cap)
+        exp_anchors = B * NW * (2.0 / (self.index.w + 1)) * self._exp_occ
+        acap = min(_round_4k(1.5 * exp_anchors), 4 * cap)
         acap *= self._acap_boost
         ccap = max(1024, min(4 * cap, 1 << 15)) * self._ccap_boost
         return acap, ccap
@@ -1105,14 +1120,35 @@ class MinimizerAligner:
         k = self.index.k
         cfg = self.cfg
         if pending[0] == "host":
-            _, cap, outs = pending
-            s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = outs
-            # one tunnel round trip for both scalars (separate int() calls
-            # each pay full link latency on remote devices)
-            n, n_kept_h = map(int, jax.device_get((n_valid, n_kept)))
-            if n_kept_h > cap:  # pathological minimizer density
-                raise RuntimeError(
-                    f"minimizer compaction overflow: {n_kept_h} > cap {cap}"
+            _, cap, batch_j, outs = pending
+            while True:
+                s_q, s_s, s_b, s_p, s_r, n_valid, n_kept = outs
+                # one tunnel round trip for both scalars (separate int()
+                # calls each pay full link latency on remote devices)
+                n, n_kept_h = map(int, jax.device_get((n_valid, n_kept)))
+                if n_kept_h <= cap:
+                    break
+                # low-complexity sequence beat the density estimate:
+                # retry with a sticky doubled cap (one recompile)
+                logger.info(
+                    "minimizer overflow (%d > %d): doubling cap (recompile)",
+                    n_kept_h, cap,
+                )
+                cap *= 2
+                self._cap_boost *= 2
+                outs = _extract_collect_sort_fused(
+                    self._idx_hl,
+                    self._idx_roff2,
+                    self._idx_ps,
+                    batch_j,
+                    k,
+                    self.index.w,
+                    cfg.max_occ,
+                    cfg.band_bits,
+                    cap,
+                    self._bkt2,
+                    self._bkt_bits,
+                    self._bkt_steps,
                 )
             if n == 0:
                 return []
@@ -1135,10 +1171,16 @@ class MinimizerAligner:
             n_chains_i, n_kept_i, n_anchors_i = map(
                 int, jax.device_get((n_chains, n_kept, n_anchors))
             )
-            if n_kept_i > cap:  # pathological minimizer density
-                raise RuntimeError(
-                    f"minimizer compaction overflow: {n_kept_i} > cap {cap}"
+            if n_kept_i > cap:
+                # low-complexity sequence beat the density estimate
+                logger.info(
+                    "minimizer overflow (%d > %d): doubling cap (recompile)",
+                    n_kept_i, cap,
                 )
+                cap *= 2
+                self._cap_boost *= 2
+                outs = self._dispatch_fused(data_args, cap, acap, ccap)
+                continue
             if n_anchors_i > acap:
                 logger.info(
                     "anchor overflow (%d > %d): doubling acap (recompile)",

@@ -30,7 +30,7 @@ from hymet_tpu.models.aligner import (
     AlignerConfig,
     _chains_from_rows,
     _extract_chains_fused,
-    _round_pow2,
+    _round_4k,
     build_search_tables,
     emit_paf,
     expected_anchor_occ,
@@ -104,6 +104,7 @@ class ShardedMinimizerAligner:
         self._idx_ps = jax.device_put(idx_ps, db_shard)
         self._collect_cache = {}
         # sticky overflow-retry multipliers (see _finish_batch)
+        self._cap_boost = 1
         self._acap_boost = 1
         self._ccap_boost = 1
         # worst shard's occurrence expectation (uniform program: every
@@ -241,10 +242,11 @@ class ShardedMinimizerAligner:
         repl = NamedSharding(self.mesh, P())
         B, L = batch.shape
         NW = L - k - self.index.w + 2
-        cap = max(1024, 1 << int(np.ceil(np.log2(max(B * NW // 4, 2)))))
+        density = 2.0 / (self.index.w + 1)
+        cap = min(_round_4k(B * NW * density * 1.35) * self._cap_boost, B * NW)
         # occurrence-informed anchor cap (see MinimizerAligner._dispatch_batch)
-        exp_anchors = B * NW * 0.11 * self._exp_occ
-        acap = min(_round_pow2(1.5 * exp_anchors, 2048), 4 * cap)
+        exp_anchors = B * NW * density * self._exp_occ
+        acap = min(_round_4k(1.5 * exp_anchors), 4 * cap)
         acap *= self._acap_boost
         ccap = max(1024, min(4 * cap, 1 << 15)) * self._ccap_boost
         batch_j = jax.device_put(batch, repl)
@@ -268,8 +270,13 @@ class ShardedMinimizerAligner:
                 (n_kept, n_anchors, n_chains)
             )
             if int(np.asarray(n_kept).max()) > cap:
-                raise RuntimeError("minimizer compaction overflow")
-            if int(np.asarray(n_anchors).max()) > acap:
+                logger.info(
+                    "minimizer overflow (%d > %d): doubling cap (recompile)",
+                    int(np.asarray(n_kept).max()), cap,
+                )
+                cap *= 2
+                self._cap_boost *= 2
+            elif int(np.asarray(n_anchors).max()) > acap:
                 logger.info(
                     "anchor overflow (%d > %d): doubling acap (recompile)",
                     int(np.asarray(n_anchors).max()), acap,
