@@ -645,10 +645,19 @@ def bench_sketch_large() -> dict:
     R, s = LARGE_F_REFS, LARGE_F_SKETCH
     rng = np.random.default_rng(0)
     t0 = time.time()
-    # random sketches ~= real MinHash sketches for count-throughput
-    # purposes: uniformly distributed 64-bit values, sorted per row
+    # realistic bottom-sketch distribution: the s smallest of ~genome_len
+    # uniform 64-bit hashes are ~uniform on [0, t) with t ~= s/genome_len
+    # of the hash space (a 4 Mbp genome here). The first sketch_large run
+    # drew hashes uniform over 2^63 instead, which put the bottom-sketch
+    # THRESHOLD at half the hash space — ~50% of query hashes "survived"
+    # the prefilter, overflowing its cap and forcing the exact full-stream
+    # fallback every batch (0.0008 Gbp/s, queue r3) — a bench-data bug,
+    # not a kernel property: real Mash thresholds are ~2.5e-4 of the
+    # space (docs/BENCH_NOTES.md round-3 log).
+    genome_len = 4_000_000
+    thresh = (1 << 64) * s // genome_len  # ~2.5e-4 of the hash space
     hashes = np.sort(
-        rng.integers(0, 1 << 63, size=(R, s), dtype=np.uint64), axis=1
+        rng.integers(0, thresh, size=(R, s), dtype=np.uint64), axis=1
     )
     db = SketchDB(
         k=21,

@@ -413,8 +413,23 @@ def _collect_anchors_slots(
     occk = jnp.where(keep, occ, 0)
     N = q_hi.shape[0]
     aiota = jax.lax.broadcasted_iota(jnp.int32, (acap, 1), 0).squeeze(-1)
+    # pack the per-query fields into ONE word so the expansion gathers
+    # once per anchor instead of three times: qid(6) | strand(1) |
+    # qpos(25) — qpos < 2^25 is asserted by the dispatchers (33 Mbp
+    # query rows; metagenomic contigs are orders of magnitude smaller)
+    qmeta = (
+        (qid.astype(jnp.uint32) << 26)
+        | (qstrand.astype(jnp.uint32) << 25)
+        | qpos.astype(jnp.uint32)
+    )
     if bsearch:
-        n_i, j_i, n_anchors = slot_compact_indices(occk, acap)
+        from hymet_tpu.ops.compaction import slot_compact_map
+
+        n_i, basex, n_anchors = slot_compact_map(occk, acap)
+        # a_idx = left[n_i] + (p - basex[n_i]): fold (left - basex) into
+        # one gathered array — saves a second [acap] gather
+        shifted = left - basex
+        a_idx = jnp.clip(shifted[n_i] + aiota, 0, max(M - 1, 0))
     else:
         n_anchors = jnp.sum(occk)
         j = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
@@ -427,17 +442,20 @@ def _collect_anchors_slots(
         sel = sperm[:acap]
         n_i = sel // max_occ  # grid is row-major: slot = n * max_occ + j
         j_i = sel - n_i * max_occ
+        a_idx = jnp.clip(left[n_i] + j_i, 0, max(M - 1, 0))
     # both compactions emit valid slots first in row-major order, so
     # validity is positional
     avalid = aiota < jnp.minimum(n_anchors, acap)
 
-    a_idx = jnp.clip(left[n_i] + j_i, 0, max(M - 1, 0))
     prow = idx_ps[a_idx]  # [acap, 2] — ONE payload row gather per anchor
     rpos = prow[:, 0]
     seq = prow[:, 1] >> 1
     rstrand = prow[:, 1] & 1
-    aqpos = qpos[n_i]
-    rel = (qstrand[n_i] ^ rstrand) & 1
+    ameta = qmeta[n_i]  # ONE query-side gather per anchor
+    aqpos = (ameta & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
+    aqstrand = ((ameta >> 25) & jnp.uint32(1)).astype(jnp.int32)
+    aqid = (ameta >> 26).astype(jnp.int32)
+    rel = (aqstrand ^ rstrand) & 1
     diag = jnp.where(rel == 0, rpos - aqpos, rpos + aqpos)
 
     big = jnp.uint32(_KEY_BIG)
@@ -455,7 +473,7 @@ def _collect_anchors_slots(
         blk = (seq.astype(jnp.int32) << 1) | rel
         flat = (fb_adj[blk] + gband).astype(jnp.uint32)
         key = jnp.where(
-            avalid, (qid[n_i].astype(jnp.uint32) << _SEQ_BITS) | flat, big
+            avalid, (aqid.astype(jnp.uint32) << _SEQ_BITS) | flat, big
         )
         if stage == 4:
             return _cksum(key) + _cksum(aqpos) + _cksum(rpos)
@@ -470,7 +488,7 @@ def _collect_anchors_slots(
     sb = (rel.astype(jnp.uint32) << 24) | band
     k1 = jnp.where(
         avalid,
-        (qid[n_i].astype(jnp.uint32) << _SEQ_BITS) | seq.astype(jnp.uint32),
+        (aqid.astype(jnp.uint32) << _SEQ_BITS) | seq.astype(jnp.uint32),
         big,
     )
     k2 = jnp.where(avalid, sb, big)
@@ -650,6 +668,7 @@ def _extract_chains_impl(
     m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(batch, k, w)
     B, NW = m_hi.shape
     assert B <= 64, "packed k1 key layout requires <= 64 query rows"
+    assert NW <= 1 << 25, "packed qmeta layout requires qpos < 2^25"
     if stage == 1:  # bench ablation: extraction only
         return _cksum(m_hi) + _cksum(m_lo) + _cksum(m_keep)
     if min_bsearch:

@@ -49,19 +49,29 @@ def searchsorted_right(arr: jax.Array, q: jax.Array) -> jax.Array:
     return lo
 
 
-def slot_compact_indices(
-    occ: jax.Array, cap: int
+def slot_compact_map(
+    occ: jax.Array, cap: int, method: str = "auto"
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Invert ``dst(n, j) = basex[n] + j`` for the first ``cap`` slots.
 
     Args:
       occ: ``[N]`` int32 kept-item counts per row (0 for dropped rows).
       cap: static output capacity.
+      method: "bsearch" (one branchless binary search per output slot —
+        ~cap*log2(N) clamped gathers), "scatter" (occupied rows scatter
+        their row id at their base slot, then a cummax forward-fill —
+        ~N scatter elements + one [cap] scan; the output slots are
+        CONSECUTIVE integers, so the inverse map is a histogram
+        boundary fill, no search needed), or "auto" (pick by the gather
+        count: scatter wins when cap*log2(N) >> N — e.g. the aligner's
+        anchor expansion where cap ~ N; bsearch wins when outputs are
+        rare — e.g. the screen prefilter's ~0.1% survivors).
 
-    Returns ``(n_i, j_i, n_items)``: for each output slot ``p`` in
-    ``[cap]``, its source row ``n_i[p]`` and within-row item ``j_i[p]``
-    (both int32, clipped to valid ranges for slots past the end — slot
-    validity is positional: ``p < min(n_items, cap)``), plus the total
+    Returns ``(n_i, basex, n_items)``: for each output slot ``p`` in
+    ``[cap]``, its source row ``n_i[p]`` (int32, clipped; slot validity
+    is positional: ``p < min(n_items, cap)`` — n_i for slots past the
+    end is method-dependent and must be masked), the exclusive-cumsum
+    base array ``basex [N]`` (``j_i = p - basex[n_i]``), and the total
     item count ``n_items`` (``> cap`` means overflow; callers must
     branch to an exact fallback or retry with a larger cap).
     """
@@ -69,7 +79,31 @@ def slot_compact_indices(
     cbase = jnp.cumsum(occ)  # inclusive cumsum, [N]
     n_items = cbase[-1]
     basex = cbase - occ  # exclusive base: row n owns [basex, basex + occ)
+    if method == "auto":
+        steps = max(1, int(math.ceil(math.log2(n + 1))))
+        method = "scatter" if cap * steps > 2 * n else "bsearch"
+    if method == "scatter":
+        # occupied rows have strictly increasing bases, so their marks are
+        # unique; empty rows (and bases beyond cap) scatter out of bounds
+        # and drop. cummax forward-fills each mark across its slot run.
+        riota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        dst = jnp.where(occ > 0, basex, cap)
+        marks = jnp.full((cap,), -1, jnp.int32).at[dst].set(riota, mode="drop")
+        n_i = jnp.clip(jax.lax.cummax(marks), 0, n - 1)
+    else:
+        piota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
+        n_i = jnp.clip(searchsorted_right(basex, piota) - 1, 0, n - 1)
+    return n_i, basex, n_items
+
+
+def slot_compact_indices(
+    occ: jax.Array, cap: int, method: str = "auto"
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`slot_compact_map` + the within-row item ``j_i = p -
+    basex[n_i]`` (one extra [cap] gather). Valid-slot results are
+    identical across methods; slots past ``n_items`` are masked by the
+    caller (positional validity)."""
+    n_i, basex, n_items = slot_compact_map(occ, cap, method)
     piota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
-    n_i = jnp.clip(searchsorted_right(basex, piota) - 1, 0, n - 1)
     j_i = piota - basex[n_i]
     return n_i, j_i, n_items

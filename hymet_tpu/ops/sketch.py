@@ -263,22 +263,24 @@ def _count_impl(
 ):
     """Trace-time count body shared by the standalone and fused updates.
 
-    TPU defaults: the one-hot-matmul formulation (``_count_eqmm``,
-    proven 15x over binary search) for F <= EQMM_MAX_F; the bottom-sketch
-    prefilter (``_count_prefilter``) beyond that, where the only
-    alternative is the gather-bound binary search. CPU default: binary
-    search (XLA-CPU gathers are fast). ``use_eqmm`` / ``use_prefilter``
-    pin a formulation for tests; HYMET_COUNT_PREFILTER=1 forces the
-    prefilter at any F."""
+    TPU default: the bottom-sketch prefilter (``_count_prefilter``) at
+    EVERY F — measured 0.207 Gbp/s vs 0.064 for the one-hot-matmul
+    formulation at the bench F=32K (round-3 A/B, docs/BENCH_NOTES.md),
+    and it is the only formulation that scales to F~1e8. The eqmm path
+    (round-1's 15x win over binary search) stays for A/B via
+    HYMET_COUNT_EQMM=1 at F <= EQMM_MAX_F. CPU default: binary search
+    (XLA-CPU gathers are fast). ``use_eqmm`` / ``use_prefilter`` pin a
+    formulation for tests."""
     import os
 
     if use_prefilter is None:
         on_tpu = jax.default_backend() == "tpu"
         force = os.environ.get("HYMET_COUNT_PREFILTER") == "1"
-        use_prefilter = (
-            use_eqmm is None
-            and on_tpu
-            and (force or db_hi.shape[0] > EQMM_MAX_F)
+        force_eqmm = os.environ.get("HYMET_COUNT_EQMM") == "1"
+        # the force flag works on ANY backend (CPU-mesh tests exercise the
+        # prefilter through it); on TPU it is simply the default
+        use_prefilter = use_eqmm is None and (
+            force or (on_tpu and not force_eqmm)
         )
     if use_prefilter and db_hi.shape[0] > 0:
         return _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid)
