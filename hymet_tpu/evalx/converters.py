@@ -45,7 +45,17 @@ def metaphlan_lineage_names(lineage: str) -> Dict[str, str]:
     return out
 
 
+_MP_TAXCHAIN = re.compile(r"-?\d*(\|-?\d*)*")
+
+
 def read_metaphlan(path: str) -> List[Tuple[str, float]]:
+    """(lineage, relative abundance) rows in BOTH MetaPhlAn dialects: the
+    2-column legacy layout (clade_name, relative_abundance — what the
+    reference's converter reads, ``metaphlan4_to_cami.py:18-34``) and the
+    v3/v4 default (clade_name, NCBI_tax_id chain, relative_abundance,
+    additional_species) where column 2 is a |-chain of taxids, never a
+    decimal — the v4 layout made the old column heuristic read the taxid
+    as the abundance (caught by tests/fixtures/metaphlan4_zymo.tsv)."""
     rows: List[Tuple[str, float]] = []
     with open(path, encoding="utf-8", errors="ignore") as f:
         for line in f:
@@ -54,8 +64,11 @@ def read_metaphlan(path: str) -> List[Tuple[str, float]]:
             parts = line.rstrip("\n").split("\t")
             if len(parts) < 2 or "__" not in parts[0]:
                 continue
+            value = parts[1]
+            if len(parts) >= 3 and _MP_TAXCHAIN.fullmatch(value.strip()):
+                value = parts[2]
             try:
-                abundance = float(parts[1 if parts[1].replace(".", "").isdigit() else -1])
+                abundance = float(value)
             except ValueError:
                 continue
             rows.append((parts[0], abundance))

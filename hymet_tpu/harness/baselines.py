@@ -62,6 +62,14 @@ def parse_kreport(path: str) -> List[Dict[str, str]]:
             stack.append((depth, taxid.strip(), name, rank))
             if not rank:
                 continue
+            try:
+                pct_f = float(pct)
+            except ValueError:
+                continue
+            # reference semantics (bench/convert/kreport.py:60): zero-mass
+            # clades and the unclassified pseudo-taxon never emit rows
+            if pct_f <= 0.0 or taxid.strip() in ("0", "", "NA"):
+                continue
             path_ids = [""] * len(RANKS)
             path_names = [""] * len(RANKS)
             for _, tid, nm, rk in stack:
@@ -69,10 +77,6 @@ def parse_kreport(path: str) -> List[Dict[str, str]]:
                     i = RANKS.index(rk)
                     path_ids[i] = tid
                     path_names[i] = nm
-            try:
-                pct_f = float(pct)
-            except ValueError:
-                continue
             rows.append(
                 {
                     "taxid": taxid.strip(),
