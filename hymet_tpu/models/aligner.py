@@ -254,6 +254,19 @@ def _round_pow2(x: float, lo: int) -> int:
     return max(lo, 1 << int(np.ceil(np.log2(max(x, 1.0)))))
 
 
+def pad_query_len(length: int, quantum: int) -> int:
+    """Padded query-row length: linear `quantum` buckets up to 2 quanta,
+    then powers of two. Every distinct (rows, pad) shape is one XLA
+    compile (minutes each on the dev tunnel), and linear 64k buckets gave
+    long-contig samples ~one program per bucket (36 compiles observed on
+    a 0.8 Mbp-contig world); geometric buckets cap the inventory at
+    ~log2(max contig) programs for <=2x padding waste."""
+    pad = -(-max(length, 1) // quantum) * quantum
+    if pad > 2 * quantum:
+        return 1 << int(np.ceil(np.log2(pad)))
+    return pad
+
+
 def _round_4k(x: float, lo: int = 4096) -> int:
     """Round up to a 4096 multiple: device caps need deterministic (for
     the compile cache) but TIGHT sizes — search and gather cost scale
@@ -894,7 +907,7 @@ class MinimizerAligner:
         cur: List[int] = []
         cur_pad = None
         for i in order:
-            pad = -(-max(len(seqs[i]), k + w) // cfg.batch_pad) * cfg.batch_pad
+            pad = pad_query_len(max(len(seqs[i]), k + w), cfg.batch_pad)
             if cur_pad is None or pad == cur_pad and len(cur) < 64:
                 cur.append(i)
                 cur_pad = pad
@@ -906,7 +919,7 @@ class MinimizerAligner:
             groups.append(cur)
 
         def _build(group) -> np.ndarray:
-            pad = -(-max(max(len(seqs[i]) for i in group), k + w) // cfg.batch_pad) * cfg.batch_pad
+            pad = pad_query_len(max(max(len(seqs[i]) for i in group), k + w), cfg.batch_pad)
             # fixed row counts (powers of two) keep one compile per
             # (rows, pad) shape instead of one per exact group size
             rows_pad = (

@@ -32,6 +32,7 @@ from hymet_tpu.models.aligner import (
     _extract_chains_fused,
     _round_4k,
     build_search_tables,
+    pad_query_len,
     emit_paf,
     expected_anchor_occ,
 )
@@ -192,7 +193,7 @@ class ShardedMinimizerAligner:
         per_query: dict = {i: [] for i in range(len(seqs))}
         # one padded batch (simpler than the single-device bucketing; the
         # sharded path targets large uniform workloads)
-        pad = -(-max(max((len(s) for s in seqs), default=1), k + w) // cfg.batch_pad) * cfg.batch_pad
+        pad = pad_query_len(max(max((len(s) for s in seqs), default=1), k + w), cfg.batch_pad)
         groups = [
             list(range(base, min(base + 64, len(seqs))))
             for base in range(0, len(seqs), 64)
