@@ -46,3 +46,33 @@ def test_slot_compact_edges(occ, cap):
     assert int(total) == n_items
     got = list(zip(np.asarray(n_i).tolist(), np.asarray(j_i).tolist()))
     assert got[: len(pairs)] == pairs
+
+
+def test_slot_compact_methods_agree():
+    """scatter+cummax inversion vs per-slot binary search: identical
+    (n_i, j_i) on every VALID slot for adversarial occ patterns (empty
+    head/tail runs, max-occ bursts, overflow)."""
+    import numpy as np
+
+    from hymet_tpu.ops.compaction import slot_compact_indices
+
+    rng = np.random.default_rng(5)
+    cases = [
+        np.array([0, 0, 3, 0, 1, 0, 0, 5, 2, 0], np.int32),
+        np.zeros(16, np.int32),
+        np.full(7, 4, np.int32),
+        rng.integers(0, 6, size=500).astype(np.int32) * (rng.random(500) < 0.3),
+    ]
+    for occ in cases:
+        total = int(occ.sum())
+        for cap in (1, 4, max(total, 1), total + 7):
+            a = slot_compact_indices(jnp.asarray(occ), cap, method="bsearch")
+            b = slot_compact_indices(jnp.asarray(occ), cap, method="scatter")
+            n_valid = min(total, cap)
+            assert int(a[2]) == int(b[2]) == total
+            np.testing.assert_array_equal(
+                np.asarray(a[0][:n_valid]), np.asarray(b[0][:n_valid])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(a[1][:n_valid]), np.asarray(b[1][:n_valid])
+            )
