@@ -429,3 +429,16 @@ def test_anchor_overflow_retries_with_sticky_boost(monkeypatch):
     assert host_recs == dev_recs
     # every copy is hit full-length
     assert len({r.tname for r in dev_recs}) == 16
+
+
+def test_pad_query_len_buckets():
+    """Linear 64k buckets up to 128k, then pow2 — bounded program count."""
+    from hymet_tpu.models.aligner import pad_query_len
+
+    q = 1 << 16
+    assert pad_query_len(1, q) == q
+    assert pad_query_len(q, q) == q
+    assert pad_query_len(q + 1, q) == 2 * q
+    assert pad_query_len(2 * q + 1, q) == 4 * q  # geometric past 2 quanta
+    assert pad_query_len(700_000, q) == 1 << 20
+    assert pad_query_len(1 << 20, q) == 1 << 20
