@@ -18,9 +18,11 @@ Pipeline split (TPU-first):
     via cummax-of-start-indices, filter, argsort+gather compaction to
     [ccap, 8] rows;
   host — receives only final chain rows (~KB), then primary/secondary
-    selection and PAF emission. (HYMET_HOST_CHAINS, default 1 on the dev
-    tunnel, selects the host reduceat/band-merge segmentation instead —
-    byte-equal by A/B test; see _chains_for_batch for the trade-off.)
+    selection and PAF emission. (HYMET_HOST_CHAINS=1 selects the legacy
+    host reduceat/band-merge segmentation — byte-equal by A/B test; the
+    on-device path is the default since round 3: it measures faster in
+    align mode, 5.9 vs 4.8 Mbp/s, and avoids the per-batch anchor
+    download that dominates the host path on tunneled links.)
 
 Sort discipline: every compaction is an argsort of (key, iota) — two
 operands through the sort, then cheap gathers of the surviving rows —
@@ -933,7 +935,7 @@ class MinimizerAligner:
                 batch[row, : codes.shape[0]] = codes
             return batch
 
-        host_chains = os.environ.get("HYMET_HOST_CHAINS", "1") == "1"
+        host_chains = os.environ.get("HYMET_HOST_CHAINS", "0") == "1"
 
         def _stage(gi: int):
             batch = _build(groups[gi])
@@ -999,15 +1001,12 @@ class MinimizerAligner:
             B, L = batch.shape
         NW, cap = self._minimizer_cap(B, L)
 
-        if not packed_in and os.environ.get("HYMET_HOST_CHAINS", "1") == "1":
+        if not packed_in and os.environ.get("HYMET_HOST_CHAINS", "0") == "1":
             batch_j = batch if hasattr(batch, "devices") else jnp.asarray(batch)
-            # host-segmentation path — the DEFAULT on the dev tunnel: its
-            # programs are compile-cached and always complete. The fully
-            # on-device chain path (HYMET_HOST_CHAINS=0) is ~2x faster at
-            # steady state (BENCH_NOTES.md) but each new (rows, pad, M)
-            # shape needs a fresh XLA compile, and the tunnel's compile
-            # service stalls such compiles for 20-50+ min in bad windows;
-            # flip the default when targeting stable TPU hosts.
+            # legacy host-segmentation path (round-1/2 default, kept for
+            # A/B and as the compile-safe fallback on tunnel stalls): it
+            # downloads per-anchor arrays (~MB/batch) where the device
+            # path returns only [ccap, 8] chain rows (~KB).
             outs = _extract_collect_sort_fused(
                 self._idx_hl,
                 self._idx_roff2,
