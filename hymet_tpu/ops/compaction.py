@@ -27,26 +27,62 @@ import jax
 import jax.numpy as jnp
 
 
-def searchsorted_right(arr: jax.Array, q: jax.Array) -> jax.Array:
+def searchsorted_right(
+    arr: jax.Array, q: jax.Array, lo0=None, hi0=None, steps: int = 0
+) -> jax.Array:
     """Branchless right-bisect: first index where ``arr[i] > q`` per
     query (== ``np.searchsorted(arr, q, "right")`` for sorted ``arr``).
     One fori_loop of ``ceil(log2(n+1))`` clamped-gather steps — the
     shared primitive behind every destination-map inversion and block
     decode in this codebase (the 64-bit limb searches in ops/sketch.py
-    and models/aligner.py keep their own two-array variants)."""
+    and models/aligner.py keep their own two-array variants). Optional
+    per-query ``(lo0, hi0)`` bounds confine the search (callers must
+    size ``steps`` to the largest bound width)."""
     n = arr.shape[0]
-    steps = max(1, int(math.ceil(math.log2(n + 1))))
+    if lo0 is None:
+        steps = max(1, int(math.ceil(math.log2(n + 1))))
+        lo0 = jnp.zeros(q.shape, jnp.int32)
+        hi0 = jnp.full(q.shape, n, jnp.int32)
 
     def body(_, carry):
         lo, hi = carry
         mid = (lo + hi) // 2
-        go_right = arr[mid] <= q
+        # the lo < hi guard makes the converged state a fixed point:
+        # without it, a surplus step gathers the CLAMPED arr[lo] and can
+        # push lo past hi (observed as result n+1 for q >= max(arr) —
+        # previously masked by callers' clips, exposed by the blocked
+        # two-level variant)
+        go_right = (arr[mid] <= q) & (lo < hi)
         return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
 
-    lo0 = jnp.zeros(q.shape, jnp.int32)
-    hi0 = jnp.full(q.shape, n, jnp.int32)
     lo, _ = jax.lax.fori_loop(0, steps, body, (lo0, hi0))
     return lo
+
+
+_BLOCK = 512  # hierarchical-bisect block width (see slot_compact_map)
+
+
+def searchsorted_right_blocked(arr: jax.Array, q: jax.Array) -> jax.Array:
+    """:func:`searchsorted_right` in two levels: bisect a [n/512]-entry
+    block-boundary table first (gathers into a KB-scale array), then
+    ~9 steps inside the block against the full array — ~2.5x fewer
+    big-array gathers than the flat bisect for multi-million-row inputs.
+    Identical results (the last-<= row's block is always the first block
+    whose boundary value exceeds q, because arr is non-decreasing)."""
+    n = arr.shape[0]
+    if n <= 4 * _BLOCK:
+        return searchsorted_right(arr, q)
+    # block boundary b holds arr[min((b+1)*B, n) - 1]
+    tail = arr[n - 1 : n] if n % _BLOCK else arr[:0]
+    ends = jnp.concatenate([arr[_BLOCK - 1 :: _BLOCK], tail])
+    b = searchsorted_right(ends, q)  # first block with end > q
+    nb = ends.shape[0]
+    lo0 = jnp.minimum(b, nb - 1) * _BLOCK
+    hi0 = jnp.minimum(lo0 + _BLOCK, n)
+    inner = max(1, int(math.ceil(math.log2(_BLOCK + 1))))
+    r = searchsorted_right(arr, q, lo0, hi0, inner)
+    # q beyond the last block's end: insertion point is n
+    return jnp.where(b >= nb, n, r)
 
 
 def slot_compact_map(
@@ -92,7 +128,7 @@ def slot_compact_map(
         n_i = jnp.clip(jax.lax.cummax(marks), 0, n - 1)
     else:
         piota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
-        n_i = jnp.clip(searchsorted_right(basex, piota) - 1, 0, n - 1)
+        n_i = jnp.clip(searchsorted_right_blocked(basex, piota) - 1, 0, n - 1)
     return n_i, basex, n_items
 
 

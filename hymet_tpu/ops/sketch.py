@@ -146,6 +146,62 @@ def _count_eqmm(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
     return counts + cgrid.reshape(Fp)[:F]
 
 
+def build_flat_search(hi: np.ndarray, lo: np.ndarray, bits: Optional[int] = None):
+    """Gather-lean survivor-search tables over the sorted-unique flat DB
+    (same design as the aligner's round-3 tables, docs/BENCH_NOTES.md):
+    the (hi, lo) limbs INTERLEAVE as one [F, 2] row table so each
+    binary-search step gathers one 8-byte row instead of two 4-byte
+    scalars, and a [2^bits, 2] top-bits bucket pair table confines the
+    search to ~log2(max bucket) steps instead of log2(F) — at F=1e8 the
+    flat search was 27 steps x 2 gathers into 800 MB, the dominant cost
+    of the large-F screen. Returns (hl, bkt2, bits, steps)."""
+    import math as _math
+
+    F = int(hi.shape[0])
+    if F == 0:
+        b = bits or 1
+        return (
+            np.full((1, 2), 0xFFFFFFFF, np.uint32),
+            np.zeros((1 << b, 2), np.int32),
+            b,
+            1,
+        )
+    hl = np.ascontiguousarray(np.stack([hi, lo], axis=1))
+    if bits is None:
+        bits = min(20, max(1, int(_math.ceil(_math.log2(max(F, 2)))) - 7))
+    tops = (hi.astype(np.uint32) >> np.uint32(32 - bits)).astype(np.int64)
+    off = np.searchsorted(tops, np.arange((1 << bits) + 1)).astype(np.int32)
+    max_bucket = int(np.diff(off).max())
+    steps = max(1, int(_math.ceil(_math.log2(max_bucket + 1))))
+    bkt2 = np.stack([off[:-1], off[1:]], axis=1)
+    return hl, bkt2, bits, steps
+
+
+def _count_binsearch_rows(db_hl, bkt2, bkt_steps, counts, q_hi, q_lo, q_valid):
+    """Row-gather + bucket-confined variant of :func:`_count_binsearch`
+    (identical counts; see :func:`build_flat_search`)."""
+    F = db_hl.shape[0]
+    bits = int(math.log2(bkt2.shape[0]))
+    top = (q_hi >> (32 - bits)).astype(jnp.int32)
+    brow = bkt2[top]
+    lo = brow[:, 0]
+    hi = brow[:, 1]
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        row = db_hl[mid]  # [N, 2] — ONE row gather per step
+        less = (row[:, 0] < q_hi) | ((row[:, 0] == q_hi) & (row[:, 1] < q_lo))
+        go = less & (lo < hi)
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, bkt_steps, body, (lo, hi))
+    pos = jnp.clip(lo, 0, F - 1)
+    row = db_hl[pos]
+    found = (row[:, 0] == q_hi) & (row[:, 1] == q_lo) & q_valid & (lo < F)
+    return counts.at[pos].add(found.astype(jnp.int32))
+
+
 # Prefilter survivor capacity: expected survivors are ~q_len * t/2^64
 # (t/2^64 ~= sketch_size/genome_len, ~0.01-0.3% for real Mash DBs — the
 # top of that range comes from small genomes, e.g. s=1000 over a 300 kb
@@ -168,7 +224,9 @@ def _pref_cap(n: int) -> int:
     return min(n, max(_PREF_CAP_FLOOR, n >> _PREF_CAP_SHIFT))
 
 
-def _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
+def _count_prefilter(
+    db_hi, db_lo, counts, q_hi, q_lo, q_valid, db_hl=None, bkt2=None, bkt_steps=0
+):
     """Bottom-sketch threshold prefilter count (TPU default; exact).
 
     A Mash sketch DB holds only each reference's s *smallest* k-mer
@@ -247,6 +305,8 @@ def _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
         ok = (n_surv <= cap) & (t_hi < U)
 
     def fast(c):
+        if db_hl is not None:
+            return _count_binsearch_rows(db_hl, bkt2, bkt_steps, c, s_hi, s_lo, s_v)
         return _count_binsearch(db_hi, db_lo, c, s_hi, s_lo, s_v)
 
     def slow(c):
@@ -259,7 +319,17 @@ def _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
 
 
 def _count_impl(
-    db_hi, db_lo, counts, q_hi, q_lo, q_valid, use_eqmm=None, use_prefilter=None
+    db_hi,
+    db_lo,
+    counts,
+    q_hi,
+    q_lo,
+    q_valid,
+    use_eqmm=None,
+    use_prefilter=None,
+    db_hl=None,
+    bkt2=None,
+    bkt_steps=0,
 ):
     """Trace-time count body shared by the standalone and fused updates.
 
@@ -283,7 +353,9 @@ def _count_impl(
             force or (on_tpu and not force_eqmm)
         )
     if use_prefilter and db_hi.shape[0] > 0:
-        return _count_prefilter(db_hi, db_lo, counts, q_hi, q_lo, q_valid)
+        return _count_prefilter(
+            db_hi, db_lo, counts, q_hi, q_lo, q_valid, db_hl, bkt2, bkt_steps
+        )
     if use_eqmm is None:
         use_eqmm = jax.default_backend() == "tpu"
     if use_eqmm and 0 < db_hi.shape[0] <= EQMM_MAX_F:
@@ -313,7 +385,7 @@ def _count_binsearch(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
     return counts.at[pos].add(found.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, donate_argnums=(2,))
+@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("bkt_steps",))
 def screen_count_batch(
     db_hi: jax.Array,  # [F] uint32 — sorted-unique flat DB hashes (hi limb)
     db_lo: jax.Array,  # [F] uint32
@@ -321,14 +393,20 @@ def screen_count_batch(
     q_hi: jax.Array,  # [N] uint32 — query k-mer hashes
     q_lo: jax.Array,  # [N] uint32
     q_valid: jax.Array,  # [N] bool
+    db_hl=None,
+    bkt2=None,
+    bkt_steps: int = 0,
 ) -> jax.Array:
     """One streaming update: binary-search every query hash in the flat DB
     array and add its occurrence to `counts`."""
-    return _count_impl(db_hi, db_lo, counts, q_hi, q_lo, q_valid)
+    return _count_impl(
+        db_hi, db_lo, counts, q_hi, q_lo, q_valid,
+        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps,
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas"), donate_argnums=(2,)
+    jax.jit, static_argnames=("k", "use_pallas", "bkt_steps"), donate_argnums=(2,)
 )
 def screen_update_fused(
     db_hi: jax.Array,
@@ -337,6 +415,9 @@ def screen_update_fused(
     codes: jax.Array,  # [B, L] uint8
     k: int,
     use_pallas: bool,
+    db_hl=None,
+    bkt2=None,
+    bkt_steps: int = 0,
 ) -> jax.Array:
     """Hash + count as ONE compiled program. Composing two separate jits
     bounces the ~75 MB of intermediate hash arrays through the host
@@ -352,7 +433,8 @@ def screen_update_fused(
         hi, lo, valid = kmer_hashes_jax(codes, k)
     valid = valid.reshape(-1)
     new_counts = _count_impl(
-        db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid
+        db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid,
+        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps,
     )
     # scalar valid-window count rides along (p-values need it; pulling it
     # as 4 bytes beats re-downloading the whole code batch)
@@ -360,7 +442,7 @@ def screen_update_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "L", "use_pallas"), donate_argnums=(2,)
+    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps"), donate_argnums=(2,)
 )
 def screen_update_fused_packed(
     db_hi: jax.Array,
@@ -371,6 +453,9 @@ def screen_update_fused_packed(
     L: int,
     k: int,
     use_pallas: bool,
+    db_hl=None,
+    bkt2=None,
+    bkt_steps: int = 0,
 ) -> jax.Array:
     """screen_update_fused over 2-bit-packed input (0.375 bytes/base on
     the wire vs 1 — host->device transfer is the real-run bottleneck over
@@ -389,7 +474,8 @@ def screen_update_fused_packed(
         hi, lo, valid = kmer_hashes_jax(codes, k)
     valid = valid.reshape(-1)
     new_counts = _count_impl(
-        db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid
+        db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid,
+        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps,
     )
     return new_counts, jnp.sum(valid.astype(jnp.int32))
 
@@ -456,6 +542,10 @@ class ScreenEngine:
         hi, lo = split64(flat)
         self.db_hi = jnp.asarray(hi)
         self.db_lo = jnp.asarray(lo)
+        hl, bkt2, _, steps = build_flat_search(hi, lo)
+        self.db_hl = jnp.asarray(hl)
+        self.bkt2 = jnp.asarray(bkt2)
+        self.bkt_steps = steps
         self.counts = jnp.zeros(flat.shape[0], dtype=jnp.int32)
         self.ref_idx = jnp.asarray(ref_idx)
         self.n_hashes = jnp.asarray(db.n_hashes)
@@ -477,7 +567,9 @@ class ScreenEngine:
                 self.total_query_kmers += int(np.sum(np.asarray(q_valid)))
             return
         self.counts = screen_count_batch(
-            self.db_hi, self.db_lo, self.counts, q_hi.ravel(), q_lo.ravel(), q_valid.ravel()
+            self.db_hi, self.db_lo, self.counts,
+            q_hi.ravel(), q_lo.ravel(), q_valid.ravel(),
+            self.db_hl, self.bkt2, bkt_steps=self.bkt_steps,
         )
         if self.track_kmers:
             self.total_query_kmers += int(np.sum(np.asarray(q_valid)))
@@ -494,7 +586,7 @@ class ScreenEngine:
             return
         self.counts, n_valid = screen_update_fused(
             self.db_hi, self.db_lo, self.counts, codes, self.db.k,
-            self._use_pallas,
+            self._use_pallas, self.db_hl, self.bkt2, bkt_steps=self.bkt_steps,
         )
         if self.track_kmers:
             self._kmer_parts.append(n_valid)
@@ -513,7 +605,7 @@ class ScreenEngine:
         self.counts, n_valid = screen_update_fused_packed(
             self.db_hi, self.db_lo, self.counts,
             jnp.asarray(packed), jnp.asarray(mask), L, self.db.k,
-            self._use_pallas,
+            self._use_pallas, self.db_hl, self.bkt2, bkt_steps=self.bkt_steps,
         )
         if self.track_kmers:
             self._kmer_parts.append(n_valid)

@@ -28,13 +28,23 @@ from jax import shard_map
 
 from hymet_tpu.io.sketchdb import SketchDB
 from hymet_tpu.ops.hashing import kmer_hashes_jax
-from hymet_tpu.ops.sketch import ScreenResult, _count_impl, split64
+from hymet_tpu.ops.sketch import (
+    ScreenResult,
+    _count_impl,
+    build_flat_search,
+    split64,
+)
 from hymet_tpu.parallel.mesh import fetch_global
 
 
-def _pair_search_count(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
+def _pair_search_count(
+    db_hi, db_lo, counts, q_hi, q_lo, q_valid, db_hl, bkt2, bkt_steps
+):
     """Alias of the single-device counting body (one source of truth)."""
-    return _count_impl(db_hi, db_lo, counts, q_hi, q_lo, q_valid)
+    return _count_impl(
+        db_hi, db_lo, counts, q_hi, q_lo, q_valid,
+        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps,
+    )
 
 
 class ShardedScreenEngine:
@@ -63,9 +73,24 @@ class ShardedScreenEngine:
             db_lo[i, : lo.shape[0]] = lo
             ref_idx[i, : ridx.shape[0], :] = ridx
             n_hashes[i, : sh.n_refs] = sh.n_hashes
+        # gather-lean survivor-search tables, one bucket width across
+        # shards so the shard_map program is uniform (pads sort last and
+        # stay unreachable via the threshold/bounds)
+        bits = min(20, max(1, int(math.ceil(math.log2(max(F, 2)))) - 7))
+        db_hl = np.empty((n_db, F, 2), dtype=np.uint32)
+        bkt2 = np.zeros((n_db, 1 << bits, 2), dtype=np.int32)
+        steps = 1
+        for i in range(n_db):
+            hl_i, b2_i, _, st_i = build_flat_search(db_hi[i], db_lo[i], bits=bits)
+            db_hl[i] = hl_i
+            bkt2[i] = b2_i
+            steps = max(steps, st_i)
+        self.bkt_steps = steps
 
         db_shard = NamedSharding(mesh, P("db", None))
         db_shard3 = NamedSharding(mesh, P("db", None, None))
+        self.db_hl = jax.device_put(db_hl, db_shard3)
+        self.bkt2 = jax.device_put(bkt2, db_shard3)
         self.db_hi = jax.device_put(db_hi, db_shard)
         self.db_lo = jax.device_put(db_lo, db_shard)
         self.ref_idx = jax.device_put(ref_idx, db_shard3)
@@ -88,18 +113,26 @@ class ShardedScreenEngine:
         @functools.partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P("db", None), P("db", None), P("db", None), P("data", None)),
+            in_specs=(
+                P("db", None),
+                P("db", None),
+                P("db", None, None),
+                P("db", None, None),
+                P("db", None),
+                P("data", None),
+            ),
             out_specs=P("db", None),
             check_vma=False,
         )
-        def step(db_hi, db_lo, counts, codes):
+        def step(db_hi, db_lo, db_hl, bkt2, counts, codes):
             # hash the local data block, then share across the data axis
             hi, lo, valid = kmer_hashes_jax(codes, k)
             hi = jax.lax.all_gather(hi, "data").reshape(-1)
             lo = jax.lax.all_gather(lo, "data").reshape(-1)
             valid = jax.lax.all_gather(valid, "data").reshape(-1)
             return _pair_search_count(
-                db_hi[0], db_lo[0], counts[0], hi, lo, valid
+                db_hi[0], db_lo[0], counts[0], hi, lo, valid,
+                db_hl[0], bkt2[0], self.bkt_steps,
             )[None, :]
 
         return step
@@ -118,6 +151,8 @@ class ShardedScreenEngine:
             in_specs=(
                 P("db", None),
                 P("db", None),
+                P("db", None, None),
+                P("db", None, None),
                 P("db", None),
                 P("data", None),
                 P("data", None),
@@ -125,7 +160,7 @@ class ShardedScreenEngine:
             out_specs=P("db", None),
             check_vma=False,
         )
-        def step(db_hi, db_lo, counts, packed, mask):
+        def step(db_hi, db_lo, db_hl, bkt2, counts, packed, mask):
             from hymet_tpu.ops.hashing import unpack_code_batch_jax
 
             codes = unpack_code_batch_jax(packed, mask, L)
@@ -134,7 +169,8 @@ class ShardedScreenEngine:
             lo = jax.lax.all_gather(lo, "data").reshape(-1)
             valid = jax.lax.all_gather(valid, "data").reshape(-1)
             return _pair_search_count(
-                db_hi[0], db_lo[0], counts[0], hi, lo, valid
+                db_hi[0], db_lo[0], counts[0], hi, lo, valid,
+                db_hl[0], bkt2[0], self.bkt_steps,
             )[None, :]
 
         return step
@@ -175,7 +211,9 @@ class ShardedScreenEngine:
         codes_j = jax.device_put(
             codes, NamedSharding(self.mesh, P("data", None))
         )
-        self.counts = self._update(self.db_hi, self.db_lo, self.counts, codes_j)
+        self.counts = self._update(
+            self.db_hi, self.db_lo, self.db_hl, self.bkt2, self.counts, codes_j
+        )
         # exact valid-window count for p-values (host mirror of the
         # kernel's validity rule)
         k = self.db.k
@@ -207,6 +245,8 @@ class ShardedScreenEngine:
         self.counts = step(
             self.db_hi,
             self.db_lo,
+            self.db_hl,
+            self.bkt2,
             self.counts,
             jax.device_put(packed, sh),
             jax.device_put(mask, sh),

@@ -76,3 +76,18 @@ def test_slot_compact_methods_agree():
             np.testing.assert_array_equal(
                 np.asarray(a[1][:n_valid]), np.asarray(b[1][:n_valid])
             )
+
+
+def test_searchsorted_right_blocked_matches_flat():
+    import numpy as np
+
+    from hymet_tpu.ops.compaction import searchsorted_right, searchsorted_right_blocked
+
+    rng = np.random.default_rng(11)
+    for n in (3, 512, 513, 5000, 4096 * 3 + 17):
+        arr = np.sort(rng.integers(0, 1000, size=n)).astype(np.int32)
+        q = rng.integers(-5, 1005, size=700).astype(np.int32)
+        a = np.asarray(searchsorted_right(jnp.asarray(arr), jnp.asarray(q)))
+        b = np.asarray(searchsorted_right_blocked(jnp.asarray(arr), jnp.asarray(q)))
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, np.searchsorted(arr, q, "right"))
