@@ -16,6 +16,7 @@ collection and chaining stay local; per-query results concatenate.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Iterable, List, Optional, Sequence, Tuple
 
@@ -119,8 +120,11 @@ class MinimizerIndex:
     # ------------------------------------------------------------------
 
     def save(self, path: str) -> None:
+        # atomic: parallel pipeline jobs share content-addressed caches,
+        # and a reader must never see a half-written archive
+        tmp = f"{path}.tmp.{os.getpid()}"
         np.savez_compressed(
-            path,
+            tmp,
             k=np.int32(self.k),
             w=np.int32(self.w),
             hashes=self.hashes,
@@ -130,6 +134,8 @@ class MinimizerIndex:
             names=np.array(self.names, dtype=object),
             lengths=self.lengths,
         )
+        # np.savez appends .npz when missing
+        os.replace(tmp if tmp.endswith(".npz") else f"{tmp}.npz", path)
 
     @classmethod
     def load(cls, path: str) -> "MinimizerIndex":

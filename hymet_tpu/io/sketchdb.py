@@ -64,8 +64,11 @@ class SketchDB:
     # ------------------------------------------------------------------
 
     def save(self, path: str) -> None:
+        # atomic (tmp + rename): cache directories are shared by parallel
+        # jobs and readers must never see a half-written archive
+        tmp = f"{path}.tmp.{os.getpid()}"
         np.savez_compressed(
-            path,
+            tmp,
             k=np.int32(self.k),
             sketch_size=np.int32(self.sketch_size),
             hashes=self.hashes,
@@ -74,6 +77,7 @@ class SketchDB:
             lengths=self.lengths,
             comments=np.array(self.comments or [""] * self.n_refs, dtype=object),
         )
+        os.replace(tmp if tmp.endswith(".npz") else f"{tmp}.npz", path)
 
     @classmethod
     def load(cls, path: str) -> "SketchDB":

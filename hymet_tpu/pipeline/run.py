@@ -308,11 +308,17 @@ class ClassificationRun:
             t0 = time.time()
             index = None
             if os.path.exists(idx_path) and not cfg.force_download:
-                index = MinimizerIndex.load(idx_path)
-                if index.k != cfg.align_k or index.w != cfg.align_w:
+                try:
+                    index = MinimizerIndex.load(idx_path)
+                except Exception as e:  # noqa: BLE001 — corrupt cache entry
+                    logger.warning("cached index unreadable (%s); rebuilding", e)
+                    index = None
+                if index is not None and (
+                    index.k != cfg.align_k or index.w != cfg.align_w
+                ):
                     logger.warning("cached index k/w mismatch; rebuilding")
                     index = None
-                else:
+                elif index is not None:
                     logger.info("cached minimizer index: %s", idx_path)
             if index is None:
                 index = MinimizerIndex.build_from_fasta(
