@@ -405,10 +405,7 @@ def screen_count_batch(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "bkt_steps"), donate_argnums=(2,)
-)
-def screen_update_fused(
+def _screen_update_fused_impl(
     db_hi: jax.Array,
     db_lo: jax.Array,
     counts: jax.Array,  # donated
@@ -441,10 +438,7 @@ def screen_update_fused(
     return new_counts, jnp.sum(valid.astype(jnp.int32))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps"), donate_argnums=(2,)
-)
-def screen_update_fused_packed(
+def _screen_update_fused_packed_impl(
     db_hi: jax.Array,
     db_lo: jax.Array,
     counts: jax.Array,  # donated
@@ -478,6 +472,29 @@ def screen_update_fused_packed(
         db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps,
     )
     return new_counts, jnp.sum(valid.astype(jnp.int32))
+
+
+# Donation aliases `counts` in place of a copy — essential at F~1e8
+# (400 MB) but worthless at small F, and streams of donated-buffer
+# updates have wedged the dev tunnel's compile service when a NEW
+# program compiles afterwards (CLAUDE.md; observed again round 3 as 2 h
+# e2e align-compile stalls right after the screen stage). Engines pick
+# the donating variant only when the buffer is big enough to matter.
+screen_update_fused = functools.partial(
+    jax.jit, static_argnames=("k", "use_pallas", "bkt_steps"), donate_argnums=(2,)
+)(_screen_update_fused_impl)
+screen_update_fused_nodonate = functools.partial(
+    jax.jit, static_argnames=("k", "use_pallas", "bkt_steps")
+)(_screen_update_fused_impl)
+screen_update_fused_packed = functools.partial(
+    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps"), donate_argnums=(2,)
+)(_screen_update_fused_packed_impl)
+screen_update_fused_packed_nodonate = functools.partial(
+    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps")
+)(_screen_update_fused_packed_impl)
+
+# donate only past this buffer size (bytes): the copy donation saves
+_DONATE_MIN_BYTES = 64 << 20
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -584,7 +601,12 @@ class ScreenEngine:
             if self.track_kmers:
                 self._count_kmers_host(codes)
             return
-        self.counts, n_valid = screen_update_fused(
+        fn = (
+            screen_update_fused
+            if self.counts.nbytes >= _DONATE_MIN_BYTES
+            else screen_update_fused_nodonate
+        )
+        self.counts, n_valid = fn(
             self.db_hi, self.db_lo, self.counts, codes, self.db.k,
             self._use_pallas, self.db_hl, self.bkt2, bkt_steps=self.bkt_steps,
         )
@@ -602,7 +624,12 @@ class ScreenEngine:
                 self._count_kmers_host(codes)
             return
         packed, mask, L = pack_code_batch(np.asarray(codes))
-        self.counts, n_valid = screen_update_fused_packed(
+        fn = (
+            screen_update_fused_packed
+            if self.counts.nbytes >= _DONATE_MIN_BYTES
+            else screen_update_fused_packed_nodonate
+        )
+        self.counts, n_valid = fn(
             self.db_hi, self.db_lo, self.counts,
             jnp.asarray(packed), jnp.asarray(mask), L, self.db.k,
             self._use_pallas, self.db_hl, self.bkt2, bkt_steps=self.bkt_steps,
