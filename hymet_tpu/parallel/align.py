@@ -18,7 +18,6 @@ import logging
 from typing import List, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P

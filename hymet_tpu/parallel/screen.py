@@ -18,10 +18,9 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List
+
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map

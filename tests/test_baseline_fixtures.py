@@ -10,7 +10,6 @@ headers, UNCLASSIFIED row, SGB t__ levels, underscore names), and a
 ganon native .tre. The kreport leg is additionally oracled against the
 reference's own converter script run on the same fixture."""
 
-import csv
 import subprocess
 import sys
 from pathlib import Path
