@@ -447,6 +447,73 @@ def bench_sketch() -> dict:
 
 
 # ----------------------------------------------------------------------
+# sketch_stages mode: marginal per-stage cost of the prefilter screen
+# update (truncated prefixes of the SAME fused program, like
+# align_stages): 1 hashing, 2 +threshold, 3 +survivor compaction,
+# 0 full (search + scatter-add).
+
+
+def bench_sketch_stages() -> dict:
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    from hymet_tpu.harness.timing import best_run, force_readback, timed_groups
+    from hymet_tpu.io.fasta import pack_code_batch
+    from hymet_tpu.io.sketchdb import PAD_HASH, SketchDB
+    from hymet_tpu.ops.sketch import ScreenEngine, screen_update_fused_packed_nodonate
+
+    rng = np.random.default_rng(0)
+    R, s = N_REFS, 1000
+    # realistic bottom-sketch distribution (see bench_sketch_large)
+    thresh = (1 << 64) * s // 4_000_000
+    hashes = np.sort(rng.integers(0, thresh, size=(R, s), dtype=np.uint64), axis=1)
+    db = SketchDB(
+        k=21,
+        sketch_size=s,
+        hashes=hashes,
+        n_hashes=np.full(R, s, dtype=np.int32),
+        names=[f"r{i}" for i in range(R)],
+        lengths=np.full(R, 4_000_000, dtype=np.int64),
+        comments=[""] * R,
+    )
+    eng = ScreenEngine(db, track_kmers=False)
+    codes = rng.integers(0, 4, size=(BATCH_ROWS, BATCH_LEN), dtype=np.uint8)
+    packed, mask, L = pack_code_batch(codes)
+    packed_d, mask_d = jnp.asarray(packed), jnp.asarray(mask)
+    jax.block_until_ready((packed_d, mask_d))
+    counts0 = jnp.zeros_like(eng.counts)
+
+    best: dict = {}
+    for stage, name in ((1, "hash"), (2, "threshold"), (3, "compact"), (0, "full")):
+        def _run():
+            out = screen_update_fused_packed_nodonate(
+                eng.db_hi, eng.db_lo, counts0, packed_d, mask_d, L, db.k,
+                eng._use_pallas, eng.db_hl, eng.bkt2,
+                bkt_steps=eng.bkt_steps, stage=stage,
+            )
+            force_readback(out)
+
+        t0 = time.time()
+        _run()
+        log(f"stage {name}: warmup (compile) {time.time() - t0:.1f}s")
+        runs = timed_groups(_run, min_runs=6, max_runs=6, budget_s=120.0)
+        best[name], _ = best_run(runs)
+        log(f"stage {name}: best {best[name]:.4f}s over {len(runs)}")
+    prev = 0.0
+    for name in ("hash", "threshold", "compact", "full"):
+        log(f"marginal {name}: {best[name] - prev:+.4f}s (cumulative {best[name]:.4f}s)")
+        prev = best[name]
+    bp = BATCH_ROWS * BATCH_LEN
+    gbps = bp / best["full"] / 1e9
+    return {
+        "metric": "sketch_stages_full_s_per_batch",
+        "value": round(best["full"], 4),
+        "unit": f"s per {bp / 1e6:.1f} Mbp batch",
+        "vs_baseline": round(gbps / SKETCH_BASELINE_GBP_S, 2),
+    }
+
+
+# ----------------------------------------------------------------------
 # align mode: aligner-only throughput on real genome sequence (ROADMAP
 # item 4 "Done" criterion: aligner Gbp/s on TPU, host leg share)
 
@@ -725,6 +792,8 @@ def main() -> None:
     try:
         if mode == "sketch":
             result = bench_sketch()
+        elif mode == "sketch_stages":
+            result = bench_sketch_stages()
         elif mode == "sketch_large":
             result = bench_sketch_large()
         elif mode == "align":

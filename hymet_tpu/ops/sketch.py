@@ -45,6 +45,15 @@ def _less64(a_hi, a_lo, b_hi, b_lo):
     return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
 
 
+def _cksum(x):
+    """Position-weighted checksum (not DCE-able / reorderable) for the
+    BENCH_MODE=sketch_stages truncated-prefix ablation (see bench.py;
+    same trick as models.aligner._cksum)."""
+    xf = x.reshape(-1).astype(jnp.uint32)
+    w = jax.lax.broadcasted_iota(jnp.uint32, (xf.shape[0], 1), 0).squeeze(-1)
+    return (jnp.sum(xf * (w | jnp.uint32(1))),)
+
+
 # Max flat-DB size for the matmul-formulated count (segment table must
 # stay MXU-friendly: P = F/128 one-hot columns). Larger DBs fall back to
 # the binary-search formulation.
@@ -225,7 +234,16 @@ def _pref_cap(n: int) -> int:
 
 
 def _count_prefilter(
-    db_hi, db_lo, counts, q_hi, q_lo, q_valid, db_hl=None, bkt2=None, bkt_steps=0
+    db_hi,
+    db_lo,
+    counts,
+    q_hi,
+    q_lo,
+    q_valid,
+    db_hl=None,
+    bkt2=None,
+    bkt_steps=0,
+    stage=0,
 ):
     """Bottom-sketch threshold prefilter count (TPU default; exact).
 
@@ -268,6 +286,8 @@ def _count_prefilter(
         & (n_real > 0)
         & ((q_hi < t_hi) | ((q_hi == t_hi) & (q_lo <= t_lo)))
     )
+    if stage == 2:  # bench ablation: + threshold mask
+        return _cksum(surv)
     n = q_hi.shape[0]
     # read at TRACE time (this body runs under the callers' jit): the
     # compiled program is cached per shape, so toggling mid-process is a
@@ -303,6 +323,8 @@ def _count_prefilter(
         piota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0).squeeze(-1)
         s_v = piota < jnp.minimum(n_surv, cap)
         ok = (n_surv <= cap) & (t_hi < U)
+        if stage == 3:  # bench ablation: + survivor compaction
+            return _cksum(s_hi) + _cksum(s_lo) + _cksum(s_v)
 
     def fast(c):
         if db_hl is not None:
@@ -330,6 +352,7 @@ def _count_impl(
     db_hl=None,
     bkt2=None,
     bkt_steps=0,
+    stage=0,
 ):
     """Trace-time count body shared by the standalone and fused updates.
 
@@ -354,7 +377,7 @@ def _count_impl(
         )
     if use_prefilter and db_hi.shape[0] > 0:
         return _count_prefilter(
-            db_hi, db_lo, counts, q_hi, q_lo, q_valid, db_hl, bkt2, bkt_steps
+            db_hi, db_lo, counts, q_hi, q_lo, q_valid, db_hl, bkt2, bkt_steps, stage
         )
     if use_eqmm is None:
         use_eqmm = jax.default_backend() == "tpu"
@@ -450,6 +473,7 @@ def _screen_update_fused_packed_impl(
     db_hl=None,
     bkt2=None,
     bkt_steps: int = 0,
+    stage: int = 0,
 ) -> jax.Array:
     """screen_update_fused over 2-bit-packed input (0.375 bytes/base on
     the wire vs 1 — host->device transfer is the real-run bottleneck over
@@ -467,10 +491,14 @@ def _screen_update_fused_packed_impl(
     else:
         hi, lo, valid = kmer_hashes_jax(codes, k)
     valid = valid.reshape(-1)
+    if stage == 1:  # bench ablation: hashing only
+        return _cksum(hi) + _cksum(lo) + _cksum(valid)
     new_counts = _count_impl(
         db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid,
-        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps,
+        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps, stage=stage,
     )
+    if stage in (2, 3):
+        return new_counts  # checksum tuple from the truncated prefilter
     return new_counts, jnp.sum(valid.astype(jnp.int32))
 
 
@@ -487,10 +515,10 @@ screen_update_fused_nodonate = functools.partial(
     jax.jit, static_argnames=("k", "use_pallas", "bkt_steps")
 )(_screen_update_fused_impl)
 screen_update_fused_packed = functools.partial(
-    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps"), donate_argnums=(2,)
+    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps", "stage"), donate_argnums=(2,)
 )(_screen_update_fused_packed_impl)
 screen_update_fused_packed_nodonate = functools.partial(
-    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps")
+    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps", "stage")
 )(_screen_update_fused_packed_impl)
 
 # donate only past this buffer size (bytes): the copy donation saves

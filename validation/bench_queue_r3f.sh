@@ -40,4 +40,5 @@ run_stage() {
 # donated-update -> new-compile deadlock mitigation)
 run_stage e2e_final 7200
 run_stage e2e_final_rep 7200
+run_stage sketch_stages 7200 BENCH_MODE=sketch_stages
 echo "=== queue r3f complete $(date -u +%F' '%T)" | tee -a "$OUT/queue.log"
