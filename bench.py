@@ -292,7 +292,80 @@ def _species_accuracy(w, classified) -> float:
     return ok / max(len(truth), 1)
 
 
+def _subprocess_warmup() -> None:
+    """Run the pipeline warmup (compiles + world/reference caches) in a
+    KILLABLE child before this process touches the TPU.
+
+    The fused device-chain align program can stall in a bad tunnel
+    compile window for hours (queue r3f: two rc=124 two-hour e2e
+    attempts), and a hung in-process jit compile cannot be aborted. The
+    child either completes — every program lands in the persistent XLA
+    cache, so the parent's own warmup is cheap — or is killed at the
+    timeout, in which case the parent falls back to the host-chain
+    align path for this bench only (``harness.timing.warmup_reaction``).
+    Never two live TPU clients: the parent only initializes jax after
+    the child exits."""
+    import subprocess
+
+    if (
+        os.environ.get("_BENCH_WARM_CHILD") == "1"
+        or os.environ.get("BENCH_WARM_WATCHDOG", "1") != "1"
+        or os.environ.get("HYMET_PLATFORM", "") == "cpu"
+        or os.environ.get("_BENCH_CPU_FALLBACK") == "1"
+    ):
+        return
+    from hymet_tpu.harness.timing import warmup_reaction
+
+    timeout_s = float(os.environ.get("BENCH_WARM_TIMEOUT_S", "3600"))
+    wedge_s = float(os.environ.get("BENCH_WARM_WEDGE_WAIT_S", "600"))
+    env = dict(os.environ)
+    env["_BENCH_WARM_CHILD"] = "1"
+    env["BENCH_MODE"] = "warm_pipeline"
+    log(f"warmup watchdog: child (timeout {timeout_s:.0f}s)")
+    t0 = time.time()
+    timed_out = False
+    rc = 0
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=sys.stderr,
+            stderr=sys.stderr,
+            timeout=timeout_s,
+        )
+        rc = proc.returncode
+    except subprocess.TimeoutExpired:
+        timed_out = True
+    plan = warmup_reaction(timed_out, rc, wedge_s)
+    log(f"warmup watchdog: {plan['note']} ({time.time() - t0:.0f}s)")
+    os.environ.update(plan["env"])
+    if plan["wait_s"] > 0:
+        log(f"warmup watchdog: waiting {plan['wait_s']:.0f}s for the chip to settle")
+        time.sleep(plan["wait_s"])
+
+
+def bench_warm_pipeline() -> dict:
+    """Child body for the warmup watchdog: compile every pipeline
+    program and populate the world/reference caches, then exit."""
+    _init_jax()
+    w = _build_world()
+    cache_root = os.path.join(w["world"], "cache")
+    t0 = time.time()
+    _, timings, classified = _run_once(
+        w, os.path.join(w["world"], "out_warmup"), cache_root
+    )
+    acc = _species_accuracy(w, classified)
+    log(f"warm child: {time.time() - t0:.1f}s, accuracy {acc * 100:.2f}%")
+    return {
+        "metric": "pipeline_warmup_s",
+        "value": round(time.time() - t0, 1),
+        "unit": "s",
+        "vs_baseline": 0.0,
+    }
+
+
 def bench_pipeline() -> dict:
+    _subprocess_warmup()
     _init_jax()
     w = _build_world()
     log(f"sample: {w['n_contigs']} contigs, {w['total_bp'] / 1e6:.1f} Mbp")
@@ -800,6 +873,8 @@ def main() -> None:
             result = bench_align()
         elif mode == "align_stages":
             result = bench_align_stages()
+        elif mode == "warm_pipeline":
+            result = bench_warm_pipeline()
         else:
             result = bench_pipeline()
     finally:

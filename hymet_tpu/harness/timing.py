@@ -92,3 +92,44 @@ def tag_fallback(result: dict, fell_back: bool) -> dict:
         result = dict(result)
         result["metric"] += "_cpu_fallback"
     return result
+
+
+def warmup_reaction(timed_out: bool, returncode, wedge_wait_s: float = 600.0) -> dict:
+    """Parent-side policy for the pipeline warmup child (bench.py).
+
+    The e2e headline compiles the fused device-chain align program; on
+    the dev tunnel a bad compile-service window can stall that compile
+    for hours (round 3: two 2-hour rc=124 e2e attempts, queue r3f) with
+    no way to abort an in-process ``jit`` call. bench.py therefore runs
+    the warmup in a KILLABLE subprocess; this function is the (testable)
+    decision table for what the parent does next:
+
+    - child completed: every program is in the persistent XLA cache —
+      proceed with defaults, nothing to wait for;
+    - child timed out: the device-chain compile is presumed stalled.
+      Fall back to ``HYMET_HOST_CHAINS=1`` (the compile-safe legacy
+      path, byte-equal output) for THIS bench process — disclosed, the
+      product default is unchanged — and wait ``wedge_wait_s`` first,
+      because killing a TPU-attached process wedges the chip for a
+      while (CLAUDE.md ~15 min);
+    - child crashed (rc != 0): no evidence of a stall — proceed with
+      defaults and let the parent surface the real error.
+
+    Returns {"env": {...}, "wait_s": float, "note": str}.
+    """
+    if timed_out:
+        return {
+            "env": {"HYMET_HOST_CHAINS": "1"},
+            "wait_s": float(wedge_wait_s),
+            "note": (
+                "device-chain warmup timed out; bench falls back to "
+                "HYMET_HOST_CHAINS=1 (disclosed; product default unchanged)"
+            ),
+        }
+    if returncode != 0:
+        return {
+            "env": {},
+            "wait_s": 0.0,
+            "note": f"warmup child exited rc={returncode}; proceeding without prewarm",
+        }
+    return {"env": {}, "wait_s": 0.0, "note": "warmup child ok"}

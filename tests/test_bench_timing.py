@@ -96,3 +96,29 @@ def test_tag_fallback():
     tagged = tag_fallback(r, True)
     assert tagged["metric"] == "m_cpu_fallback"
     assert r["metric"] == "m"  # input not mutated
+
+
+def test_warmup_reaction_ok():
+    from hymet_tpu.harness.timing import warmup_reaction
+
+    plan = warmup_reaction(False, 0)
+    assert plan["env"] == {} and plan["wait_s"] == 0.0
+
+
+def test_warmup_reaction_timeout_falls_back_to_host_chains():
+    from hymet_tpu.harness.timing import warmup_reaction
+
+    plan = warmup_reaction(True, None, wedge_wait_s=123.0)
+    assert plan["env"] == {"HYMET_HOST_CHAINS": "1"}
+    assert plan["wait_s"] == 123.0
+    assert "host" in plan["note"].lower() or "HOST" in plan["note"]
+
+
+def test_warmup_reaction_crash_proceeds_with_defaults():
+    from hymet_tpu.harness.timing import warmup_reaction
+
+    plan = warmup_reaction(False, 3)
+    # a crash is not evidence of a compile stall: keep the shipping
+    # device-chain default and surface the real error in the parent
+    assert plan["env"] == {} and plan["wait_s"] == 0.0
+    assert "rc=3" in plan["note"]
