@@ -887,6 +887,7 @@ class MinimizerAligner:
         self._ccap_boost = 1
         self._fb_cache: dict = {}  # padded L -> flat-band tables (or None)
         self._exp_occ = expected_anchor_occ(index.hashes, self.cfg.max_occ)
+        self._seen_shapes: set = set()  # (rows, pad) buckets already logged
 
     # ------------------------------------------------------------------
 
@@ -957,8 +958,26 @@ class MinimizerAligner:
         for gi, group in enumerate(groups):
             for gj in range(gi, min(gi + lookahead, len(groups))):
                 if gj not in pending:
-                    pending[gj] = self._dispatch_batch(_stage(gj))
+                    staged = _stage(gj)
+                    shape = (
+                        (staged[2], staged[3])
+                        if isinstance(staged, tuple)
+                        else tuple(staged.shape)
+                    )
+                    if shape not in self._seen_shapes:
+                        # three e2e runs "hung" silently for hours here:
+                        # each new (rows, pad) bucket compiles the fused
+                        # program (5-600 s each on the dev tunnel)
+                        logger.info(
+                            "[align] group %d/%d: new batch shape %s — "
+                            "first dispatch compiles (minutes on a cold "
+                            "cache)", gj + 1, len(groups), shape,
+                        )
+                        self._seen_shapes.add(shape)
+                    pending[gj] = self._dispatch_batch(staged)
             chains = self._finish_batch(pending.pop(gi))
+            if gi % 8 == 7 or gi == len(groups) - 1:
+                logger.info("[align] %d/%d groups done", gi + 1, len(groups))
             for ch in chains:
                 if ch.qid < len(group):
                     per_query[group[ch.qid]].append(ch)
