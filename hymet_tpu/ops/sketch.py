@@ -233,6 +233,26 @@ def _pref_cap(n: int) -> int:
     return min(n, max(_PREF_CAP_FLOOR, n >> _PREF_CAP_SHIFT))
 
 
+def pref_cap_sized(n: int, survival: float) -> int:
+    """Threshold-aware prefilter cap (static, host-computed).
+
+    Expected survivors of the bottom-sketch threshold are ``n *
+    survival`` where ``survival = (t + 1) / 2^64`` for the largest real
+    DB hash t — query hashes are uniform whether or not they match, so
+    a fully-contained genome survives at the same rate as background.
+    4x headroom absorbs composition skew (Poisson noise is tiny at
+    these counts); the 4096 floor and quantum keep shapes
+    compile-cache-stable. The blind ``n >> 7`` heuristic (30x oversized
+    at realistic Mash thresholds — and the compact bsearch AND the
+    downstream count search both scale linearly in the cap) remains the
+    fallback for unknown/saturated thresholds; overflow of a sized cap
+    still falls back in-jit to the exact full-stream count."""
+    if not (0.0 < survival <= 0.25):
+        return _pref_cap(n)
+    want = int(4.0 * survival * n) + 1
+    return min(n, max(_PREF_CAP_FLOOR, -(-want // 4096) * 4096))
+
+
 def _count_prefilter(
     db_hi,
     db_lo,
@@ -244,6 +264,7 @@ def _count_prefilter(
     bkt2=None,
     bkt_steps=0,
     stage=0,
+    pref_cap=0,
 ):
     """Bottom-sketch threshold prefilter count (TPU default; exact).
 
@@ -316,7 +337,7 @@ def _count_prefilter(
     else:
         from hymet_tpu.ops.compaction import slot_compact_indices
 
-        cap = _pref_cap(n)
+        cap = pref_cap if pref_cap else _pref_cap(n)
         n_i, _, n_surv = slot_compact_indices(surv.astype(jnp.int32), cap)
         s_hi = q_hi[n_i]
         s_lo = q_lo[n_i]
@@ -353,6 +374,7 @@ def _count_impl(
     bkt2=None,
     bkt_steps=0,
     stage=0,
+    pref_cap=0,
 ):
     """Trace-time count body shared by the standalone and fused updates.
 
@@ -377,7 +399,8 @@ def _count_impl(
         )
     if use_prefilter and db_hi.shape[0] > 0:
         return _count_prefilter(
-            db_hi, db_lo, counts, q_hi, q_lo, q_valid, db_hl, bkt2, bkt_steps, stage
+            db_hi, db_lo, counts, q_hi, q_lo, q_valid, db_hl, bkt2,
+            bkt_steps, stage, pref_cap,
         )
     if use_eqmm is None:
         use_eqmm = jax.default_backend() == "tpu"
@@ -408,7 +431,7 @@ def _count_binsearch(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
     return counts.at[pos].add(found.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("bkt_steps",))
+@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("bkt_steps", "pref_cap"))
 def screen_count_batch(
     db_hi: jax.Array,  # [F] uint32 — sorted-unique flat DB hashes (hi limb)
     db_lo: jax.Array,  # [F] uint32
@@ -419,12 +442,13 @@ def screen_count_batch(
     db_hl=None,
     bkt2=None,
     bkt_steps: int = 0,
+    pref_cap: int = 0,
 ) -> jax.Array:
     """One streaming update: binary-search every query hash in the flat DB
     array and add its occurrence to `counts`."""
     return _count_impl(
         db_hi, db_lo, counts, q_hi, q_lo, q_valid,
-        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps,
+        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps, pref_cap=pref_cap,
     )
 
 
@@ -438,6 +462,7 @@ def _screen_update_fused_impl(
     db_hl=None,
     bkt2=None,
     bkt_steps: int = 0,
+    pref_cap: int = 0,
 ) -> jax.Array:
     """Hash + count as ONE compiled program. Composing two separate jits
     bounces the ~75 MB of intermediate hash arrays through the host
@@ -454,7 +479,7 @@ def _screen_update_fused_impl(
     valid = valid.reshape(-1)
     new_counts = _count_impl(
         db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid,
-        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps,
+        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps, pref_cap=pref_cap,
     )
     # scalar valid-window count rides along (p-values need it; pulling it
     # as 4 bytes beats re-downloading the whole code batch)
@@ -474,6 +499,7 @@ def _screen_update_fused_packed_impl(
     bkt2=None,
     bkt_steps: int = 0,
     stage: int = 0,
+    pref_cap: int = 0,
 ) -> jax.Array:
     """screen_update_fused over 2-bit-packed input (0.375 bytes/base on
     the wire vs 1 — host->device transfer is the real-run bottleneck over
@@ -496,6 +522,7 @@ def _screen_update_fused_packed_impl(
     new_counts = _count_impl(
         db_hi, db_lo, counts, hi.reshape(-1), lo.reshape(-1), valid,
         db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps, stage=stage,
+        pref_cap=pref_cap,
     )
     if stage in (2, 3):
         return new_counts  # checksum tuple from the truncated prefilter
@@ -509,16 +536,16 @@ def _screen_update_fused_packed_impl(
 # e2e align-compile stalls right after the screen stage). Engines pick
 # the donating variant only when the buffer is big enough to matter.
 screen_update_fused = functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "bkt_steps"), donate_argnums=(2,)
+    jax.jit, static_argnames=("k", "use_pallas", "bkt_steps", "pref_cap"), donate_argnums=(2,)
 )(_screen_update_fused_impl)
 screen_update_fused_nodonate = functools.partial(
-    jax.jit, static_argnames=("k", "use_pallas", "bkt_steps")
+    jax.jit, static_argnames=("k", "use_pallas", "bkt_steps", "pref_cap")
 )(_screen_update_fused_impl)
 screen_update_fused_packed = functools.partial(
-    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps", "stage"), donate_argnums=(2,)
+    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps", "stage", "pref_cap"), donate_argnums=(2,)
 )(_screen_update_fused_packed_impl)
 screen_update_fused_packed_nodonate = functools.partial(
-    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps", "stage")
+    jax.jit, static_argnames=("k", "L", "use_pallas", "bkt_steps", "stage", "pref_cap")
 )(_screen_update_fused_packed_impl)
 
 # donate only past this buffer size (bytes): the copy donation saves
@@ -584,6 +611,12 @@ class ScreenEngine:
     def __init__(self, db: SketchDB, track_kmers: bool = True):
         self.db = db
         flat, ref_idx = db.flat_index()
+        # bottom-sketch survival rate for threshold-aware prefilter caps
+        # (pref_cap_sized): the largest REAL flat hash over 2^64
+        real = flat[flat != np.uint64(PAD_HASH)]
+        self._survival = (
+            (float(real.max()) + 1.0) / 2.0**64 if real.size else 0.0
+        )
         hi, lo = split64(flat)
         self.db_hi = jnp.asarray(hi)
         self.db_lo = jnp.asarray(lo)
@@ -615,6 +648,7 @@ class ScreenEngine:
             self.db_hi, self.db_lo, self.counts,
             q_hi.ravel(), q_lo.ravel(), q_valid.ravel(),
             self.db_hl, self.bkt2, bkt_steps=self.bkt_steps,
+            pref_cap=pref_cap_sized(int(q_hi.size), self._survival),
         )
         if self.track_kmers:
             self.total_query_kmers += int(np.sum(np.asarray(q_valid)))
@@ -634,9 +668,11 @@ class ScreenEngine:
             if self.counts.nbytes >= _DONATE_MIN_BYTES
             else screen_update_fused_nodonate
         )
+        B, L = codes.shape
         self.counts, n_valid = fn(
             self.db_hi, self.db_lo, self.counts, codes, self.db.k,
             self._use_pallas, self.db_hl, self.bkt2, bkt_steps=self.bkt_steps,
+            pref_cap=pref_cap_sized(B * L, self._survival),
         )
         if self.track_kmers:
             self._kmer_parts.append(n_valid)
@@ -661,6 +697,7 @@ class ScreenEngine:
             self.db_hi, self.db_lo, self.counts,
             jnp.asarray(packed), jnp.asarray(mask), L, self.db.k,
             self._use_pallas, self.db_hl, self.bkt2, bkt_steps=self.bkt_steps,
+            pref_cap=pref_cap_sized(codes.shape[0] * L, self._survival),
         )
         if self.track_kmers:
             self._kmer_parts.append(n_valid)

@@ -31,18 +31,20 @@ from hymet_tpu.ops.sketch import (
     ScreenResult,
     _count_impl,
     build_flat_search,
+    pref_cap_sized,
     split64,
 )
 from hymet_tpu.parallel.mesh import fetch_global
 
 
 def _pair_search_count(
-    db_hi, db_lo, counts, q_hi, q_lo, q_valid, db_hl, bkt2, bkt_steps
+    db_hi, db_lo, counts, q_hi, q_lo, q_valid, db_hl, bkt2, bkt_steps,
+    pref_cap=0,
 ):
     """Alias of the single-device counting body (one source of truth)."""
     return _count_impl(
         db_hi, db_lo, counts, q_hi, q_lo, q_valid,
-        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps,
+        db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps, pref_cap=pref_cap,
     )
 
 
@@ -56,6 +58,14 @@ class ShardedScreenEngine:
         self.shards = db.shard(n_db)
 
         flats = [s.flat_index() for s in self.shards]
+        # threshold-aware prefilter cap must cover the WORST shard's
+        # bottom-sketch survival (caps are static across the db axis)
+        maxes = [
+            float(f[0][f[0] != np.uint64(0xFFFFFFFFFFFFFFFF)].max())
+            for f in flats
+            if (f[0] != np.uint64(0xFFFFFFFFFFFFFFFF)).any()
+        ]
+        self._survival = (max(maxes) + 1.0) / 2.0**64 if maxes else 0.0
         F = max((f[0].shape[0] for f in flats), default=1)
         F = max(F, 1)
         R = max((s.n_refs for s in self.shards), default=1)
@@ -132,6 +142,7 @@ class ShardedScreenEngine:
             return _pair_search_count(
                 db_hi[0], db_lo[0], counts[0], hi, lo, valid,
                 db_hl[0], bkt2[0], self.bkt_steps,
+                pref_cap=pref_cap_sized(int(hi.size), self._survival),
             )[None, :]
 
         return step
@@ -170,6 +181,7 @@ class ShardedScreenEngine:
             return _pair_search_count(
                 db_hi[0], db_lo[0], counts[0], hi, lo, valid,
                 db_hl[0], bkt2[0], self.bkt_steps,
+                pref_cap=pref_cap_sized(int(hi.size), self._survival),
             )[None, :]
 
         return step

@@ -280,6 +280,58 @@ def test_count_prefilter_matches_binsearch(case, compaction, monkeypatch):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pref_cap_sized():
+    """Threshold-aware prefilter cap sizing (pref_cap_sized): 4x-headroom
+    4096-quantum caps at realistic Mash survival rates, heuristic
+    fallback for empty/saturated thresholds, never above n."""
+    from hymet_tpu.ops.sketch import _pref_cap, pref_cap_sized
+
+    n = 64 * 131072
+    # realistic Mash threshold (~2.5e-4): tight cap, far below n >> 7
+    cap = pref_cap_sized(n, 2.5e-4)
+    assert cap % 4096 == 0
+    assert 4.0 * 2.5e-4 * n <= cap <= 4.0 * 2.5e-4 * n + 4096
+    assert cap < _pref_cap(n)
+    # floor
+    assert pref_cap_sized(1 << 20, 1e-7) == 4096
+    # saturated / unknown thresholds fall back to the blind heuristic
+    assert pref_cap_sized(n, 0.0) == _pref_cap(n)
+    assert pref_cap_sized(n, 0.5) == _pref_cap(n)
+    # never above n
+    assert pref_cap_sized(5000, 0.25) == 5000
+
+
+def test_count_prefilter_sized_cap_exact():
+    """A threshold-sized pref_cap must stay exact in both regimes: the
+    fast path when survivors fit, and the in-jit full-stream fallback
+    when a (deliberately undersized) cap overflows."""
+    from hymet_tpu.ops.sketch import _count_impl, pref_cap_sized
+
+    rng = np.random.default_rng(31)
+    F, n = 32768, 300000
+    db = np.unique(rng.integers(0, 1 << 44, F * 2, dtype=np.uint64))[:F]
+    q = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    q[:3000] = rng.choice(db, 3000)
+    valid = rng.random(n) > 0.1
+    sp = lambda x: (
+        jnp.asarray((x >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((x & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
+    dh, dl = sp(db)
+    qh, ql = sp(q)
+    z = jnp.zeros(db.shape[0], jnp.int32)
+    v = jnp.asarray(valid)
+    ref = _count_impl(dh, dl, z, qh, ql, v, use_eqmm=False, use_prefilter=False)
+    survival = (float(db.max()) + 1.0) / 2.0**64
+    sized = pref_cap_sized(n, survival)
+    got = _count_impl(dh, dl, z, qh, ql, v, use_prefilter=True, pref_cap=sized)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    # undersized cap (< ~3000+ survivors per the planted matches):
+    # overflow branch -> exact full-stream fallback
+    got2 = _count_impl(dh, dl, z, qh, ql, v, use_prefilter=True, pref_cap=2048)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got2))
+
+
 def test_update_codes_packed_matches_unpacked(db, genomes):
     """The 2-bit packed upload path (update_codes_packed) must yield
     byte-identical screen state to the plain uint8 path."""
