@@ -569,7 +569,11 @@ def bench_sketch_stages() -> dict:
     from hymet_tpu.harness.timing import best_run, force_readback, timed_groups
     from hymet_tpu.io.fasta import pack_code_batch
     from hymet_tpu.io.sketchdb import PAD_HASH, SketchDB
-    from hymet_tpu.ops.sketch import ScreenEngine, screen_update_fused_packed_nodonate
+    from hymet_tpu.ops.sketch import (
+        ScreenEngine,
+        pref_cap_sized,
+        screen_update_fused_packed_nodonate,
+    )
 
     rng = np.random.default_rng(0)
     R, s = N_REFS, 1000
@@ -599,6 +603,8 @@ def bench_sketch_stages() -> dict:
                 eng.db_hi, eng.db_lo, counts0, packed_d, mask_d, L, db.k,
                 eng._use_pallas, eng.db_hl, eng.bkt2,
                 bkt_steps=eng.bkt_steps, stage=stage,
+                # shipping config: threshold-sized survivor cap
+                pref_cap=pref_cap_sized(BATCH_ROWS * BATCH_LEN, eng._survival),
             )
             force_readback(out)
 
