@@ -97,6 +97,16 @@ def main() -> None:
         if rows == row_list[0] and not smoke:
             measure("jnp hash (no pallas)", hash_jnp, (codes,), bp)
 
+    # round-1-style shape (8 x 1 Mbp — the config behind the historical
+    # "pallas hash alone sustains ~1.5 Gbp/s" note): shape-dependence check
+    if not smoke:
+        rows1, L1 = 8, 1 << 20
+        codes1 = jnp.asarray(rng.integers(0, 4, size=(rows1, L1), dtype=np.uint8))
+        jax.block_until_ready(codes1)
+        print(f"== rows={rows1} L={L1} ({rows1 * L1 / 1e6:.1f} Mbp/call) ==",
+              flush=True)
+        measure("pallas hash", hash_only, (codes1,), rows1 * L1)
+
     # compaction-leg costs (the +13-16 ms sketch_stages marginal):
     # cumsum over the full stream, then slot_compact_indices at the
     # current cap (n>>9 = 16384) vs a survivor-sized cap (4096)
