@@ -38,11 +38,14 @@ def _hash_tile_kernel(cur_ref, nxt_ref, hi_ref, lo_ref, valid_ref, *, k: int, n_
     index maps can't express overlapping blocks): slab = cur ++ nxt[:k-1].
     All rows of the batch are processed per grid step."""
     t = pl.program_id(0)
-    # full-tile concat keeps the lane width 128-aligned (2*TILE); an
-    # unaligned width like TILE+k-1 miscompiles lane rolls on TPU
+    # narrow overlap slab: only the first k-1 lanes of the next tile are
+    # ever read, so carry one aligned 128-lane block of it instead of the
+    # whole tile — the 21 lane-rolls below move ~1.9x less data. Widths
+    # must stay 128-multiples (TILE + 128 is): an unaligned width like
+    # TILE + k - 1 miscompiles lane rolls on TPU (CLAUDE.md).
     codes = jnp.concatenate(
-        [cur_ref[:, :], nxt_ref[:, :]], axis=1
-    ).astype(jnp.uint32)  # [B, 2*TILE]
+        [cur_ref[:, :], nxt_ref[:, :128]], axis=1
+    ).astype(jnp.uint32)  # [B, TILE + 128]
 
     B = codes.shape[0]
 
@@ -125,6 +128,8 @@ def kmer_hashes_pallas(codes: jax.Array, k: int, interpret: bool = False):
     n = L - k + 1
     if n <= 0:
         raise ValueError(f"sequence shorter than k: L={L}, k={k}")
+    if k > 129:
+        raise ValueError(f"k={k} exceeds the 128-lane overlap slab")
     n_tiles = -(-n // TILE)
     # pad to (n_tiles + 1) tiles: the kernel reads tile t and the first
     # k-1 lanes of tile t+1 (two aligned views express the overlap)

@@ -96,6 +96,20 @@ def main() -> None:
         measure("unpack+pallas hash", unpack_hash, (packed, mask), bp)
         if rows == row_list[0] and not smoke:
             measure("jnp hash (no pallas)", hash_jnp, (codes,), bp)
+            # compiled-vs-XLA diff on the REAL backend (valid-masked sums
+            # must agree exactly; guards Mosaic lane-roll miscompiles)
+            ph, plo, pv = kmer_hashes_pallas(codes, k, interpret=not on_tpu)
+            jh, jlo, jv = kmer_hashes_jax(codes, k)
+            nw = jh.shape[1]
+            a = int(jnp.sum(jnp.where(pv[:, :nw], ph[:, :nw], 0), dtype=jnp.uint32))
+            b = int(jnp.sum(jnp.where(jv, jh, 0), dtype=jnp.uint32))
+            c = int(jnp.sum(jnp.where(pv[:, :nw], plo[:, :nw], 0), dtype=jnp.uint32))
+            d = int(jnp.sum(jnp.where(jv, jlo, 0), dtype=jnp.uint32))
+            ok = a == b and c == d and bool(jnp.array_equal(pv[:, :nw], jv))
+            print(f"[probe] pallas-vs-jnp exactness: {'MATCH' if ok else 'MISMATCH'}",
+                  flush=True)
+            if not ok:
+                raise SystemExit("pallas kernel diverges from jnp on this backend")
 
     # round-1-style shape (8 x 1 Mbp — the config behind the historical
     # "pallas hash alone sustains ~1.5 Gbp/s" note): shape-dependence check
