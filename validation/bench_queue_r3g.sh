@@ -43,6 +43,14 @@ run_probe() {
     echo "skip $name (already recorded)" | tee -a "$OUT/queue.log"
     return 0
   fi
+  local waited=0
+  until probe; do
+    sleep 60; waited=$((waited + 60))
+    if [ "$waited" -ge 21600 ]; then
+      echo "=== $name ABANDONED: tunnel down 6h $(date -u +%F' '%T)" | tee -a "$OUT/queue.log"
+      return 1
+    fi
+  done
   echo "=== $name start $(date -u +%F' '%T)" | tee -a "$OUT/queue.log"
   timeout "$tmo" python3 -u "$script" >"$OUT/$name.log" 2>&1
   local rc=$?
