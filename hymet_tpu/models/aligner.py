@@ -442,9 +442,16 @@ def _collect_anchors_slots(
 
         n_i, basex, n_anchors = slot_compact_map(occk, acap)
         # a_idx = left[n_i] + (p - basex[n_i]): fold (left - basex) into
-        # one gathered array — saves a second [acap] gather
-        shifted = left - basex
-        a_idx = jnp.clip(shifted[n_i] + aiota, 0, max(M - 1, 0))
+        # one gathered array — and interleave it WITH qmeta as an [N, 2]
+        # row so the query side costs ONE row gather per anchor instead
+        # of two scalar gathers (rows ~85M/s vs scalars ~16M/s on v5e)
+        qrow = jnp.stack(
+            [jax.lax.bitcast_convert_type(qmeta, jnp.int32), left - basex],
+            axis=1,
+        )  # [N, 2]
+        arow = qrow[n_i]  # ONE query-side row gather per anchor
+        ameta = jax.lax.bitcast_convert_type(arow[:, 0], jnp.uint32)
+        a_idx = jnp.clip(arow[:, 1] + aiota, 0, max(M - 1, 0))
     else:
         n_anchors = jnp.sum(occk)
         j = jnp.arange(max_occ, dtype=jnp.int32)[None, :]
@@ -458,6 +465,7 @@ def _collect_anchors_slots(
         n_i = sel // max_occ  # grid is row-major: slot = n * max_occ + j
         j_i = sel - n_i * max_occ
         a_idx = jnp.clip(left[n_i] + j_i, 0, max(M - 1, 0))
+        ameta = qmeta[n_i]
     # both compactions emit valid slots first in row-major order, so
     # validity is positional
     avalid = aiota < jnp.minimum(n_anchors, acap)
@@ -466,7 +474,6 @@ def _collect_anchors_slots(
     rpos = prow[:, 0]
     seq = prow[:, 1] >> 1
     rstrand = prow[:, 1] & 1
-    ameta = qmeta[n_i]  # ONE query-side gather per anchor
     aqpos = (ameta & jnp.uint32((1 << 25) - 1)).astype(jnp.int32)
     aqstrand = ((ameta >> 25) & jnp.uint32(1)).astype(jnp.int32)
     aqid = (ameta >> 26).astype(jnp.int32)
@@ -493,8 +500,11 @@ def _collect_anchors_slots(
         if stage == 4:
             return _cksum(key) + _cksum(aqpos) + _cksum(rpos)
         s_key, aperm = jax.lax.sort((key, aiota), dimension=0, num_keys=1)
-        s_p = aqpos.astype(jnp.uint32)[aperm]
-        s_r = rpos.astype(jnp.uint32)[aperm]
+        # interleaved payload: one [acap, 2] row gather by the sort
+        # permutation instead of two scalar gathers
+        pr = jnp.stack([aqpos.astype(jnp.uint32), rpos], axis=1)[aperm]
+        s_p = pr[:, 0]
+        s_r = pr[:, 1]
         if stage == 5:
             return _cksum(s_key) + _cksum(s_p) + _cksum(s_r)
         return s_key, s_p, s_r, n_anchors
@@ -514,8 +524,11 @@ def _collect_anchors_slots(
     # stable, so the permutation — and every downstream byte — matches
     # the old 4-operand form that dragged qpos/rpos through every pass)
     s_k1, s_k2, aperm = jax.lax.sort((k1, k2, aiota), dimension=0, num_keys=2)
-    s_p = aqpos.astype(jnp.uint32)[aperm]
-    s_r = rpos.astype(jnp.uint32)[aperm]
+    # interleaved payload: one [acap, 2] row gather by the sort
+    # permutation instead of two scalar gathers
+    pr = jnp.stack([aqpos.astype(jnp.uint32), rpos], axis=1)[aperm]
+    s_p = pr[:, 0]
+    s_r = pr[:, 1]
     if stage == 5:  # sorted anchors (position-weighted: sort not elidable)
         return _cksum(s_k1) + _cksum(s_k2) + _cksum(s_p) + _cksum(s_r)
     return s_k1, s_k2, s_p, s_r, n_anchors

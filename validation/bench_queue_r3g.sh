@@ -64,4 +64,6 @@ run_stage sketch_large_sized 7200 BENCH_MODE=sketch_large
 run_stage sketch_sized 7200 BENCH_MODE=sketch
 run_stage e2e_sized 10800
 run_stage e2e_sized_rep 7200
+run_stage align_rowmerge 7200 BENCH_MODE=align
+run_stage align_stages_rowmerge 7200 BENCH_MODE=align_stages
 echo "=== queue r3g complete $(date -u +%F' '%T)" | tee -a "$OUT/queue.log"
