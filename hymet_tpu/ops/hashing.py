@@ -291,6 +291,14 @@ def _mul64(a_hi, a_lo, b_hi, b_lo):
     return p_hi + x + y, p_lo
 
 
+def _mul64x5(hi, lo):
+    """(hi, lo) * 5 as x + (x << 2) — 6 limb ops instead of a general
+    _mul64's ~10 uint32 multiplies (murmur's h += h*5 + c sites)."""
+    s_hi = (hi << 2) | (lo >> 30)
+    s_lo = lo << 2
+    return _add64(s_hi, s_lo, hi, lo)
+
+
 def _add64(a_hi, a_lo, b_hi, b_lo):
     jnp = _jax_imports()
     lo = a_lo + b_lo
@@ -387,7 +395,7 @@ def murmur3_planes_jax(planes, seed: int = SEED):
         h1_hi, h1_lo = _xor64(h1_hi, h1_lo, k1_hi, k1_lo)
         h1_hi, h1_lo = _rotl64_limb(h1_hi, h1_lo, 27)
         h1_hi, h1_lo = _add64(h1_hi, h1_lo, h2_hi, h2_lo)
-        m_hi, m_lo = _mul64(h1_hi, h1_lo, jnp.uint32(0), jnp.uint32(5))
+        m_hi, m_lo = _mul64x5(h1_hi, h1_lo)
         h1_hi, h1_lo = _add64(m_hi, m_lo, jnp.uint32(0), jnp.uint32(0x52DCE729))
         k2_hi, k2_lo = _mul64(k2_hi, k2_lo, c2_hi, c2_lo)
         k2_hi, k2_lo = _rotl64_limb(k2_hi, k2_lo, 33)
@@ -395,7 +403,7 @@ def murmur3_planes_jax(planes, seed: int = SEED):
         h2_hi, h2_lo = _xor64(h2_hi, h2_lo, k2_hi, k2_lo)
         h2_hi, h2_lo = _rotl64_limb(h2_hi, h2_lo, 31)
         h2_hi, h2_lo = _add64(h2_hi, h2_lo, h1_hi, h1_lo)
-        m_hi, m_lo = _mul64(h2_hi, h2_lo, jnp.uint32(0), jnp.uint32(5))
+        m_hi, m_lo = _mul64x5(h2_hi, h2_lo)
         h2_hi, h2_lo = _add64(m_hi, m_lo, jnp.uint32(0), jnp.uint32(0x38495AB5))
 
     tail_len = length - nblocks * 16
