@@ -321,6 +321,10 @@ def _subprocess_warmup() -> None:
     env = dict(os.environ)
     env["_BENCH_WARM_CHILD"] = "1"
     env["BENCH_MODE"] = "warm_pipeline"
+    # a CPU-fallback warm child would burn the whole budget compiling
+    # programs the TPU parent can never reuse — fail fast instead and
+    # let the parent's own dial ladder decide
+    env["BENCH_CPU_FALLBACK"] = "0"
     log(f"warmup watchdog: child (timeout {timeout_s:.0f}s)")
     t0 = time.time()
     timed_out = False
