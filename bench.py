@@ -117,7 +117,19 @@ def _init_jax():
         log(f"backend init failed (attempt {attempt + 1}/{retries + 1}): {e}")
         if "axon" in str(e) or "8083" in str(e):
             os.environ["_BENCH_DIAL_TUNNEL"] = "1"
-        if attempt >= retries:
+        # deadline pressure: r03 died mid-ladder having printed nothing.
+        # Stop dialing while there is still time for a disclosed CPU
+        # fallback to produce a real number before the watchdog fires.
+        from hymet_tpu.harness.deadline import remaining_s
+
+        reserve = float(os.environ.get("BENCH_CPU_RESERVE_S", "1500"))
+        out_of_time = remaining_s() - reserve < 180.0
+        if out_of_time and attempt < retries:
+            log(
+                f"deadline pressure ({remaining_s():.0f}s left, reserve "
+                f"{reserve:.0f}s): abandoning remaining dial retries"
+            )
+        if attempt >= retries or out_of_time:
             # Last resort: a disclosed CPU-backend measurement beats an
             # empty record when the tunnel outage outlives the retries
             # (observed 6+ h outages). The emitted metric name gets a
@@ -133,7 +145,7 @@ def _init_jax():
                 os.environ.pop("_BENCH_DIAL_ATTEMPT", None)
                 os.execv(sys.executable, [sys.executable] + sys.argv)
             raise
-        time.sleep(180)
+        time.sleep(min(180.0, max(5.0, remaining_s() - reserve)))
         os.environ["_BENCH_DIAL_ATTEMPT"] = str(attempt + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
     log(f"device: {dev.platform} {dev.device_kind}")
@@ -314,10 +326,20 @@ def _subprocess_warmup() -> None:
         or os.environ.get("_BENCH_CPU_FALLBACK") == "1"
     ):
         return
+    from hymet_tpu.harness import deadline
     from hymet_tpu.harness.timing import warmup_reaction
 
     timeout_s = float(os.environ.get("BENCH_WARM_TIMEOUT_S", "3600"))
     wedge_s = float(os.environ.get("BENCH_WARM_WEDGE_WAIT_S", "600"))
+    # leave the parent enough deadline for its own warm + timed runs
+    warm_reserve = float(os.environ.get("BENCH_WARM_RESERVE_S", "1500"))
+    timeout_s = min(timeout_s, deadline.remaining_s() - warm_reserve)
+    if timeout_s < 120.0:
+        log(
+            "warmup watchdog: deadline pressure "
+            f"({deadline.remaining_s():.0f}s left) — skipping the warm child"
+        )
+        return
     env = dict(os.environ)
     env["_BENCH_WARM_CHILD"] = "1"
     env["BENCH_MODE"] = "warm_pipeline"
@@ -325,27 +347,36 @@ def _subprocess_warmup() -> None:
     # programs the TPU parent can never reuse — fail fast instead and
     # let the parent's own dial ladder decide
     env["BENCH_CPU_FALLBACK"] = "0"
+    # the child must not touch the parent's deadline machinery: a child
+    # finish() would silence the parent's watchdog
+    for k in (deadline.ENV_STATUS, deadline.ENV_WATCHDOG, deadline.ENV_EPOCH):
+        env.pop(k, None)
     log(f"warmup watchdog: child (timeout {timeout_s:.0f}s)")
     t0 = time.time()
     timed_out = False
     rc = 0
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=sys.stderr,
+        stderr=sys.stderr,
+    )
+    deadline.register_child(proc.pid)
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            stdout=sys.stderr,
-            stderr=sys.stderr,
-            timeout=timeout_s,
-        )
-        rc = proc.returncode
+        rc = proc.wait(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
         timed_out = True
+    finally:
+        deadline.unregister_child(proc.pid)
     plan = warmup_reaction(timed_out, rc, wedge_s)
     log(f"warmup watchdog: {plan['note']} ({time.time() - t0:.0f}s)")
     os.environ.update(plan["env"])
     if plan["wait_s"] > 0:
-        log(f"warmup watchdog: waiting {plan['wait_s']:.0f}s for the chip to settle")
-        time.sleep(plan["wait_s"])
+        wait = min(plan["wait_s"], max(0.0, deadline.remaining_s() - warm_reserve))
+        log(f"warmup watchdog: waiting {wait:.0f}s for the chip to settle")
+        time.sleep(wait)
 
 
 def _prewarm_align(w, cache_root) -> None:
@@ -404,11 +435,34 @@ def bench_warm_pipeline() -> dict:
     }
 
 
+def _report_pipeline_partial(w, total_s: float, reason: str) -> None:
+    """Checkpoint a best-so-far contigs/s so a deadline or crash still
+    yields a real measurement (tagged via the ``degraded`` field)."""
+    from hymet_tpu.harness import deadline
+    from hymet_tpu.harness.timing import tag_fallback
+
+    cps = w["n_contigs"] / total_s
+    deadline.report_partial(
+        tag_fallback(
+            {
+                "metric": "pipeline_contigs_per_s",
+                "value": round(cps, 2),
+                "unit": "contigs/s",
+                "vs_baseline": round(cps / PIPE_BASELINE_CONTIGS_PER_S, 2),
+            },
+            os.environ.get("_BENCH_CPU_FALLBACK") == "1",
+        ),
+        reason,
+    )
+
+
 def bench_pipeline() -> dict:
     _subprocess_warmup()
     _init_jax()
     w = _build_world()
     log(f"sample: {w['n_contigs']} contigs, {w['total_bp'] / 1e6:.1f} Mbp")
+
+    from hymet_tpu.harness import deadline
 
     cache_root = os.path.join(w["world"], "cache")
     t0 = time.time()
@@ -419,6 +473,9 @@ def bench_pipeline() -> dict:
         f"warmup (compile + reference-cache build) {warm_s:.1f}s; stages "
         + " ".join(f"{k}={v:.1f}s" for k, v in warm_t.items())
     )
+    # the warm run is a complete, correct pipeline execution — record it
+    # so the watchdog never has to print a zero
+    _report_pipeline_partial(w, warm_s, "warmup_run_only")
 
     acc = _species_accuracy(w, classified)
     log(f"species accuracy gate: {acc * 100:.2f}%")
@@ -426,6 +483,8 @@ def bench_pipeline() -> dict:
         log("WARNING: accuracy below 90% — the speed number is suspect")
 
     from hymet_tpu.harness.timing import best_run, spread_note, timed_groups
+
+    best_sofar = [float("inf")]
 
     def _timed():
         total_s, timings, _ = _run_once(
@@ -436,9 +495,13 @@ def bench_pipeline() -> dict:
             + " ".join(f"{k}={v:.2f}s" for k, v in timings.items())
             + ")"
         )
+        if total_s < best_sofar[0]:
+            best_sofar[0] = total_s
+            _report_pipeline_partial(w, total_s, "partial_timed_runs")
         return total_s, timings
 
-    runs = timed_groups(_timed, min_runs=2, max_runs=4, budget_s=600.0)
+    budget_s = min(600.0, max(60.0, deadline.remaining_s(690.0) - 90.0))
+    runs = timed_groups(_timed, min_runs=2, max_runs=4, budget_s=budget_s)
     # the pipeline times itself inside _run_once (excludes outdir cleanup)
     best, best_timings = best_run([r for _, r in runs])
     cps = w["n_contigs"] / best
@@ -904,6 +967,14 @@ def bench_sketch_large() -> dict:
 def main() -> None:
     os.makedirs(CACHE, exist_ok=True)
     mode = os.environ.get("BENCH_MODE", "pipeline")
+    from hymet_tpu.harness import deadline
+
+    # hard-deadline watchdog (separate jax-free process): prints the
+    # best partial result and kills this tree if the wall clock runs out
+    # — BENCH_r03 recorded nothing and that must never happen again.
+    # The warm child is covered by the parent's watchdog, not its own.
+    if os.environ.get("_BENCH_WARM_CHILD") != "1":
+        deadline.arm(mode, CACHE)
     # the one-JSON-line stdout contract is absolute: route any stray
     # library prints to stderr while the benchmark body runs
     real_stdout = sys.stdout
@@ -923,11 +994,29 @@ def main() -> None:
             result = bench_warm_pipeline()
         else:
             result = bench_pipeline()
+    except Exception as e:
+        sys.stdout = real_stdout
+        if os.environ.get("_BENCH_WARM_CHILD") == "1":
+            raise  # the parent interprets the warm child's rc
+        # crash path: still print one parseable line (the best partial if
+        # any stage completed), then exit nonzero with the traceback on
+        # stderr for the record's tail
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        status = deadline._read_status(os.environ.get(deadline.ENV_STATUS, ""))
+        line = deadline.degraded_line(status, mode)
+        if not status.get("result"):
+            line["degraded"] = f"error:{type(e).__name__}"
+        deadline.finish()
+        print(json.dumps(line), flush=True)
+        sys.exit(1)
     finally:
         sys.stdout = real_stdout
     from hymet_tpu.harness.timing import tag_fallback
 
     result = tag_fallback(result, os.environ.get("_BENCH_CPU_FALLBACK") == "1")
+    deadline.finish()
     print(json.dumps(result))
 
 
