@@ -45,7 +45,35 @@ def metaphlan_lineage_names(lineage: str) -> Dict[str, str]:
     return out
 
 
-_MP_TAXCHAIN = re.compile(r"-?\d*(\|-?\d*)*")
+_MP_TAXCHAIN = re.compile(r"-?\d+(\|-?\d*)*")
+
+
+def _parses_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def _is_v4_layout(data: List[List[str]]) -> bool:
+    """File-level dialect detection: the v3/v4 layout is assumed only
+    when EVERY data row carries a taxid-chain-shaped column 2 with a
+    parseable column-3 abundance AND some chain is multi-rank (contains
+    '|'). Real v4 profiles always have multi-rank rows; a legacy file
+    whose integer abundance happens to look like a bare taxid (e.g.
+    ``k__X\\t12``, plus an extra column) must stay legacy — the old
+    per-row heuristic misread column 3 as its abundance (ADVICE r3)."""
+    if not data:
+        return False
+    chain_rows = [
+        p
+        for p in data
+        if len(p) >= 3
+        and _MP_TAXCHAIN.fullmatch(p[1].strip())
+        and _parses_float(p[2])
+    ]
+    return len(chain_rows) == len(data) and any("|" in p[1] for p in chain_rows)
 
 
 def read_metaphlan(path: str) -> List[Tuple[str, float]]:
@@ -55,8 +83,9 @@ def read_metaphlan(path: str) -> List[Tuple[str, float]]:
     v3/v4 default (clade_name, NCBI_tax_id chain, relative_abundance,
     additional_species) where column 2 is a |-chain of taxids, never a
     decimal — the v4 layout made the old column heuristic read the taxid
-    as the abundance (caught by tests/fixtures/metaphlan4_zymo.tsv)."""
-    rows: List[Tuple[str, float]] = []
+    as the abundance (caught by tests/fixtures/metaphlan4_zymo.tsv).
+    The dialect is decided once per file (see :func:`_is_v4_layout`)."""
+    data: List[List[str]] = []
     with open(path, encoding="utf-8", errors="ignore") as f:
         for line in f:
             if line.startswith("#") or not line.strip():
@@ -64,14 +93,15 @@ def read_metaphlan(path: str) -> List[Tuple[str, float]]:
             parts = line.rstrip("\n").split("\t")
             if len(parts) < 2 or "__" not in parts[0]:
                 continue
-            value = parts[1]
-            if len(parts) >= 3 and _MP_TAXCHAIN.fullmatch(value.strip()):
-                value = parts[2]
-            try:
-                abundance = float(value)
-            except ValueError:
-                continue
-            rows.append((parts[0], abundance))
+            data.append(parts)
+    col = 2 if _is_v4_layout(data) else 1
+    rows: List[Tuple[str, float]] = []
+    for parts in data:
+        try:
+            abundance = float(parts[col])
+        except ValueError:
+            continue
+        rows.append((parts[0], abundance))
     return rows
 
 

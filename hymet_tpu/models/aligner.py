@@ -502,7 +502,9 @@ def _collect_anchors_slots(
         s_key, aperm = jax.lax.sort((key, aiota), dimension=0, num_keys=1)
         # interleaved payload: one [acap, 2] row gather by the sort
         # permutation instead of two scalar gathers
-        pr = jnp.stack([aqpos.astype(jnp.uint32), rpos], axis=1)[aperm]
+        pr = jnp.stack(
+        [aqpos.astype(jnp.uint32), rpos.astype(jnp.uint32)], axis=1
+    )[aperm]
         s_p = pr[:, 0]
         s_r = pr[:, 1]
         if stage == 5:
@@ -526,7 +528,9 @@ def _collect_anchors_slots(
     s_k1, s_k2, aperm = jax.lax.sort((k1, k2, aiota), dimension=0, num_keys=2)
     # interleaved payload: one [acap, 2] row gather by the sort
     # permutation instead of two scalar gathers
-    pr = jnp.stack([aqpos.astype(jnp.uint32), rpos], axis=1)[aperm]
+    pr = jnp.stack(
+        [aqpos.astype(jnp.uint32), rpos.astype(jnp.uint32)], axis=1
+    )[aperm]
     s_p = pr[:, 0]
     s_r = pr[:, 1]
     if stage == 5:  # sorted anchors (position-weighted: sort not elidable)

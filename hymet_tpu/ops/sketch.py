@@ -160,10 +160,19 @@ def build_flat_search(hi: np.ndarray, lo: np.ndarray, bits: Optional[int] = None
     (same design as the aligner's round-3 tables, docs/BENCH_NOTES.md):
     the (hi, lo) limbs INTERLEAVE as one [F, 2] row table so each
     binary-search step gathers one 8-byte row instead of two 4-byte
-    scalars, and a [2^bits, 2] top-bits bucket pair table confines the
+    scalars, and a [2^bits + 1, 2] bucket pair table confines the
     search to ~log2(max bucket) steps instead of log2(F) — at F=1e8 the
     flat search was 27 steps x 2 gathers into 800 MB, the dominant cost
-    of the large-F screen. Returns (hl, bkt2, bits, steps)."""
+    of the large-F screen.
+
+    Bottom-sketch DBs concentrate every hash below the sketch threshold
+    (~2.5e-4 of the hash space for real Mash-scale sketches), so raw
+    top-of-hi bucket keys would land all of F in bucket 0 and the
+    confinement would degenerate to log2(F) (ADVICE round 3). Buckets
+    therefore key on the ``bits`` bits just below the DB max's leading
+    zeros; the shift rides in the table's EXTRA LAST ROW so the device
+    side derives the same key without threading a new static argument
+    through every screen jit. Returns (hl, bkt2, bits, steps)."""
     import math as _math
 
     F = int(hi.shape[0])
@@ -171,18 +180,24 @@ def build_flat_search(hi: np.ndarray, lo: np.ndarray, bits: Optional[int] = None
         b = bits or 1
         return (
             np.full((1, 2), 0xFFFFFFFF, np.uint32),
-            np.zeros((1 << b, 2), np.int32),
+            np.zeros(((1 << b) + 1, 2), np.int32),
             b,
             1,
         )
     hl = np.ascontiguousarray(np.stack([hi, lo], axis=1))
     if bits is None:
         bits = min(20, max(1, int(_math.ceil(_math.log2(max(F, 2)))) - 7))
-    tops = (hi.astype(np.uint32) >> np.uint32(32 - bits)).astype(np.int64)
+    shift = max(0, int(hi.max()).bit_length() - bits)
+    tops = (hi.astype(np.uint64) >> np.uint64(shift)).astype(np.int64)
     off = np.searchsorted(tops, np.arange((1 << bits) + 1)).astype(np.int32)
     max_bucket = int(np.diff(off).max())
     steps = max(1, int(_math.ceil(_math.log2(max_bucket + 1))))
-    bkt2 = np.stack([off[:-1], off[1:]], axis=1)
+    bkt2 = np.concatenate(
+        [
+            np.stack([off[:-1], off[1:]], axis=1),
+            np.array([[shift, 0]], np.int32),
+        ]
+    )
     return hl, bkt2, bits, steps
 
 
@@ -190,8 +205,14 @@ def _count_binsearch_rows(db_hl, bkt2, bkt_steps, counts, q_hi, q_lo, q_valid):
     """Row-gather + bucket-confined variant of :func:`_count_binsearch`
     (identical counts; see :func:`build_flat_search`)."""
     F = db_hl.shape[0]
-    bits = int(math.log2(bkt2.shape[0]))
-    top = (q_hi >> (32 - bits)).astype(jnp.int32)
+    nb = bkt2.shape[0] - 1  # last row carries the bucket-key shift
+    shift = bkt2[nb, 0].astype(jnp.uint32)
+    # queries span the full hash space while the DB concentrates below
+    # its threshold: out-of-range keys clamp into the last (tiny) bucket
+    # where the exact-match check rejects them in ~1 step
+    top = jnp.minimum(
+        jnp.right_shift(q_hi, shift), jnp.uint32(nb - 1)
+    ).astype(jnp.int32)
     brow = bkt2[top]
     lo = brow[:, 0]
     hi = brow[:, 1]
@@ -431,8 +452,7 @@ def _count_binsearch(db_hi, db_lo, counts, q_hi, q_lo, q_valid):
     return counts.at[pos].add(found.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, donate_argnums=(2,), static_argnames=("bkt_steps", "pref_cap"))
-def screen_count_batch(
+def _screen_count_batch_impl(
     db_hi: jax.Array,  # [F] uint32 — sorted-unique flat DB hashes (hi limb)
     db_lo: jax.Array,  # [F] uint32
     counts: jax.Array,  # [F] int32 — running occurrence counts (donated)
@@ -450,6 +470,18 @@ def screen_count_batch(
         db_hi, db_lo, counts, q_hi, q_lo, q_valid,
         db_hl=db_hl, bkt2=bkt2, bkt_steps=bkt_steps, pref_cap=pref_cap,
     )
+
+
+# Donating + non-donating variants, like the fused updates below: small
+# donated-buffer update streams followed by a new compile wedge the dev
+# tunnel's compile service (CLAUDE.md), so engines donate only when the
+# counts buffer is big enough for the copy saving to matter.
+screen_count_batch = functools.partial(
+    jax.jit, donate_argnums=(2,), static_argnames=("bkt_steps", "pref_cap")
+)(_screen_count_batch_impl)
+screen_count_batch_nodonate = functools.partial(
+    jax.jit, static_argnames=("bkt_steps", "pref_cap")
+)(_screen_count_batch_impl)
 
 
 def _screen_update_fused_impl(
@@ -644,7 +676,12 @@ class ScreenEngine:
             if self.track_kmers:
                 self.total_query_kmers += int(np.sum(np.asarray(q_valid)))
             return
-        self.counts = screen_count_batch(
+        fn = (
+            screen_count_batch
+            if self.counts.nbytes >= _DONATE_MIN_BYTES
+            else screen_count_batch_nodonate
+        )
+        self.counts = fn(
             self.db_hi, self.db_lo, self.counts,
             q_hi.ravel(), q_lo.ravel(), q_valid.ravel(),
             self.db_hl, self.bkt2, bkt_steps=self.bkt_steps,

@@ -87,7 +87,7 @@ class ShardedScreenEngine:
         # stay unreachable via the threshold/bounds)
         bits = min(20, max(1, int(math.ceil(math.log2(max(F, 2)))) - 7))
         db_hl = np.empty((n_db, F, 2), dtype=np.uint32)
-        bkt2 = np.zeros((n_db, 1 << bits, 2), dtype=np.int32)
+        bkt2 = np.zeros((n_db, (1 << bits) + 1, 2), dtype=np.int32)
         steps = 1
         for i in range(n_db):
             hl_i, b2_i, _, st_i = build_flat_search(db_hi[i], db_lo[i], bits=bits)

@@ -19,6 +19,38 @@ def test_metaphlan_lineage_names():
     assert out["species"] == "Bacillus subtilis"  # underscores -> spaces
 
 
+def test_metaphlan_legacy_integer_abundance_with_extra_columns(tmp_path):
+    """A legacy-dialect file whose abundance is a bare integer (which
+    also looks like a taxid) and which carries >= 3 columns must NOT be
+    misread as the v4 layout (ADVICE round 3): column 2 stays the
+    abundance unless a multi-rank |-chain appears somewhere."""
+    from hymet_tpu.evalx.converters import read_metaphlan
+
+    src = tmp_path / "legacy.tsv"
+    src.write_text(
+        "#mpa_v2\n"
+        "k__Bacteria\t12\t0.5\n"
+        "k__Bacteria|p__Bacillota\t88.5\t0.9\n"
+    )
+    rows = read_metaphlan(str(src))
+    assert rows == [("k__Bacteria", 12.0), ("k__Bacteria|p__Bacillota", 88.5)]
+
+
+def test_metaphlan_v4_detection_needs_chain(tmp_path):
+    """v4 layout: every row chain-shaped in col 2, some chain multi-rank
+    -> abundances come from column 3."""
+    from hymet_tpu.evalx.converters import read_metaphlan
+
+    src = tmp_path / "v4.tsv"
+    src.write_text(
+        "#clade_name\tNCBI_tax_id\trelative_abundance\tadditional_species\n"
+        "k__Bacteria\t2\t70.25\t\n"
+        "k__Bacteria|p__Bacillota\t2|1239\t70.25\t\n"
+    )
+    rows = read_metaphlan(str(src))
+    assert rows == [("k__Bacteria", 70.25), ("k__Bacteria|p__Bacillota", 70.25)]
+
+
 def test_metaphlan_to_cami(tmp_path, mini_taxdb):
     src = tmp_path / "mp.tsv"
     src.write_text(
