@@ -269,6 +269,61 @@ def pad_query_len(length: int, quantum: int) -> int:
     return pad
 
 
+def plan_query_groups(
+    lengths: Sequence[int], batch_pad: int, min_len: int
+) -> Tuple[List[List[int]], bool]:
+    """Group queries into equal-padded batches of <= 64 rows, ascending
+    by length (so each pad bucket compiles exactly once); returns
+    (groups of query indices, fixed_rows). Shared by
+    :meth:`MinimizerAligner.map_batch` and the upload-once contig
+    staging (``pipeline/staged.py``), which must produce byte-identical
+    batches."""
+    # on large runs every group pads to 64 rows so each pad bucket
+    # compiles exactly once
+    fixed_rows = len(lengths) >= 64
+    order = sorted(range(len(lengths)), key=lambda i: lengths[i])
+    groups: List[List[int]] = []
+    cur: List[int] = []
+    cur_pad = None
+    for i in order:
+        pad = pad_query_len(max(lengths[i], min_len), batch_pad)
+        if cur_pad is None or pad == cur_pad and len(cur) < 64:
+            cur.append(i)
+            cur_pad = pad
+        else:
+            groups.append(cur)
+            cur = [i]
+            cur_pad = pad
+    if cur:
+        groups.append(cur)
+    return groups, fixed_rows
+
+
+def build_group_batch(
+    seqs: Sequence[bytes],
+    group: Sequence[int],
+    batch_pad: int,
+    min_len: int,
+    fixed_rows: bool,
+) -> np.ndarray:
+    """[rows, pad] uint8 code batch for one query group (pad code 4)."""
+    pad = pad_query_len(
+        max(max(len(seqs[i]) for i in group), min_len), batch_pad
+    )
+    # fixed row counts (powers of two) keep one compile per (rows, pad)
+    # shape instead of one per exact group size
+    rows_pad = (
+        64
+        if fixed_rows
+        else 1 << max(0, int(np.ceil(np.log2(max(len(group), 1)))))
+    )
+    batch = np.full((rows_pad, pad), 4, dtype=np.uint8)
+    for row, i in enumerate(group):
+        codes = encode_seq(seqs[i])
+        batch[row, : codes.shape[0]] = codes
+    return batch
+
+
 def _round_4k(x: float, lo: int = 4096) -> int:
     """Round up to a 4096 multiple: device caps need deterministic (for
     the compile cache) but TIGHT sizes — search and gather cost scale
@@ -390,6 +445,7 @@ def _collect_anchors_slots(
     bsearch: bool = True,
     stage: int = 0,
     fb_base2=None,
+    slot_fill: bool = False,
 ):
     """Anchor collection via SLOT compaction: the [N, max_occ] occurrence
     grid is ~90% padding (typical occurrence is 1-3), and both gathering
@@ -437,7 +493,36 @@ def _collect_anchors_slots(
         | (qstrand.astype(jnp.uint32) << 25)
         | qpos.astype(jnp.uint32)
     )
-    if bsearch:
+    if bsearch and slot_fill:
+        # VALUE-fill collect (HYMET_SLOT_FILL=1): no [acap]-scale gather
+        # at all. A monotonic repack of qmeta (qid<<26 | qpos<<1 | strand
+        # is non-decreasing in row-major minimizer order) rides the same
+        # scatter+cummax as the row-id marks, and (left - basex)
+        # reconstructs via wrap-delta scatter + exact int32 cumsum
+        # (ops/compaction.slot_fill_delta) — every slot, valid or pad,
+        # lands byte-identical to the gather path below.
+        from hymet_tpu.ops.compaction import slot_fill_delta, slot_fill_mono
+
+        cbase = jnp.cumsum(occk)
+        n_anchors = cbase[-1]
+        basex = cbase - occk
+        occm = occk > 0
+        mono = (
+            (qid.astype(jnp.uint32) << 26)
+            | (qpos.astype(jnp.uint32) << 1)
+            | qstrand.astype(jnp.uint32)
+        )
+        fa = slot_fill_mono(mono, basex, occm, acap)
+        fcol = slot_fill_delta(left - basex, basex, occm, acap)
+        # reassemble the module's qmeta layout (qid|strand|qpos) so every
+        # downstream decode is unchanged
+        ameta = (
+            ((fa >> 26) << 26)
+            | ((fa & jnp.uint32(1)) << 25)
+            | ((fa >> 1) & jnp.uint32((1 << 25) - 1))
+        )
+        a_idx = jnp.clip(fcol + aiota, 0, max(M - 1, 0))
+    elif bsearch:
         from hymet_tpu.ops.compaction import slot_compact_map
 
         n_i, basex, n_anchors = slot_compact_map(occk, acap)
@@ -688,6 +773,7 @@ def _extract_chains_impl(
     stage: int = 0,
     min_bsearch: bool = False,
     fb_base2=None,
+    slot_fill: bool = False,
 ):
     """Whole aligner device path as ONE program: minimizer extraction ->
     argsort+gather compaction -> bucketed anchor search -> slot
@@ -743,6 +829,7 @@ def _extract_chains_impl(
         bsearch,
         stage,
         fb_base2,
+        slot_fill,
     )
     if stage in (3, 4, 5):  # checksum tuple from the truncated collector
         return collected
@@ -774,6 +861,7 @@ _FUSED_STATICS = (
     "bsearch",
     "stage",
     "min_bsearch",
+    "slot_fill",
 )
 
 _extract_chains_fused = functools.partial(
@@ -805,6 +893,7 @@ def _extract_chains_fused_packed(
     stage: int = 0,
     min_bsearch: bool = False,
     fb_base2=None,
+    slot_fill: bool = False,
 ):
     """:func:`_extract_chains_impl` on a 2-bit packed batch — 0.375
     bytes/base across the host->device link instead of 1 (the link is
@@ -835,6 +924,7 @@ def _extract_chains_fused_packed(
         stage,
         min_bsearch,
         fb_base2,
+        slot_fill,
     )
 
 
@@ -909,54 +999,41 @@ class MinimizerAligner:
     # ------------------------------------------------------------------
 
     def map_batch(
-        self, names: Sequence[str], seqs: Sequence[bytes]
+        self, names: Sequence[str], seqs: Sequence[bytes], staged=None
     ) -> List[PafRecord]:
         """Map queries; returns PAF records grouped per query in input
-        order (primary chain first)."""
+        order (primary chain first).
+
+        ``staged`` (a :class:`hymet_tpu.pipeline.staged.StagedContigs`)
+        supplies pre-packed device-resident batches in this exact
+        grouping, so the contigs cross the host->device link once per
+        RUN instead of once per stage (used only on the device-chain
+        path; ignored when its plan doesn't match this config)."""
         k, w = self.index.k, self.index.w
         cfg = self.cfg
         records: List[PafRecord] = []
         if self.index.n_minimizers == 0:
             return records
 
-        # group queries into equal-padded batches; on large runs every
-        # group pads to 64 rows so each pad bucket compiles exactly once
-        fixed_rows = len(seqs) >= 64
-        order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
-        groups: List[List[int]] = []
-        cur: List[int] = []
-        cur_pad = None
-        for i in order:
-            pad = pad_query_len(max(len(seqs[i]), k + w), cfg.batch_pad)
-            if cur_pad is None or pad == cur_pad and len(cur) < 64:
-                cur.append(i)
-                cur_pad = pad
-            else:
-                groups.append(cur)
-                cur = [i]
-                cur_pad = pad
-        if cur:
-            groups.append(cur)
-
-        def _build(group) -> np.ndarray:
-            pad = pad_query_len(max(max(len(seqs[i]) for i in group), k + w), cfg.batch_pad)
-            # fixed row counts (powers of two) keep one compile per
-            # (rows, pad) shape instead of one per exact group size
-            rows_pad = (
-                64
-                if fixed_rows
-                else 1 << max(0, int(np.ceil(np.log2(max(len(group), 1)))))
-            )
-            batch = np.full((rows_pad, pad), 4, dtype=np.uint8)
-            for row, i in enumerate(group):
-                codes = encode_seq(seqs[i])
-                batch[row, : codes.shape[0]] = codes
-            return batch
-
         host_chains = os.environ.get("HYMET_HOST_CHAINS", "0") == "1"
+        use_staged = (
+            staged is not None
+            and not host_chains
+            and staged.matches(len(seqs), cfg.batch_pad, k + w)
+        )
+        if use_staged:
+            groups, fixed_rows = staged.groups, staged.fixed_rows
+        else:
+            groups, fixed_rows = plan_query_groups(
+                [len(s) for s in seqs], cfg.batch_pad, k + w
+            )
 
         def _stage(gi: int):
-            batch = _build(groups[gi])
+            if use_staged:
+                return staged.device[gi]
+            batch = build_group_batch(
+                seqs, groups[gi], cfg.batch_pad, k + w, fixed_rows
+            )
             if host_chains:
                 return jnp.asarray(batch)
             # 2-bit packed upload (0.375 B/base); transfers are async, so
@@ -1153,6 +1230,10 @@ class MinimizerAligner:
             # same destination-map inversion (chain rows byte-identical;
             # default off until its compile + timing land on the tunnel)
             min_bsearch=os.environ.get("HYMET_MIN_BSEARCH", "0") == "1",
+            # =1 replaces the anchor collect's [acap]-row qmeta gather
+            # with the scatter+cumsum value fill (byte-identical; default
+            # off until its A/B timing lands on the tunnel — queue r4b)
+            slot_fill=os.environ.get("HYMET_SLOT_FILL", "0") == "1",
         )
         if os.environ.get("HYMET_FLAT_BAND", "0") == "1":
             # single-key anchor sort (byte-identical chains; default off

@@ -132,6 +132,51 @@ def slot_compact_map(
     return n_i, basex, n_items
 
 
+def slot_fill_mono(mono: jax.Array, basex: jax.Array, occupied: jax.Array,
+                   cap: int) -> jax.Array:
+    """Boundary-fill a NON-DECREASING per-row uint32 value over the
+    slot-compaction output without any [cap]-scale gather: occupied rows
+    scatter their value at their base slot (1D scalar scatter — 2D row
+    scatters stall XLA:TPU compiles, CLAUDE.md) and ``cummax`` forward-
+    fills each value across its slot run. Exact for every slot
+    ``p < n_items`` because the first occupied row's base is 0; slots
+    past the end repeat the last value (callers mask positionally).
+
+    This is the same scatter+cummax used by :func:`slot_compact_map`'s
+    "scatter" method, applied to the VALUE instead of the row id — one
+    fewer [cap]-row gather when the caller only needed the value."""
+    dst = jnp.where(occupied, basex, cap)
+    marks = (
+        jnp.zeros((cap,), jnp.uint32).at[dst].set(mono, mode="drop")
+    )
+    return jax.lax.cummax(marks)
+
+
+def slot_fill_delta(vals: jax.Array, basex: jax.Array, occupied: jax.Array,
+                    cap: int) -> jax.Array:
+    """Boundary-fill an ARBITRARY per-row int32 value over the
+    slot-compaction output without any [cap]-scale gather: scatter each
+    occupied row's wrap-delta vs the previous occupied row's value at
+    its base slot, then one exact int32 ``cumsum`` reconstructs the fill
+    (two's-complement wraparound makes the delta/sum pair exact mod
+    2^32, so any bitcast 32-bit field round-trips). The previous
+    occupied value comes from a forward-fill associative scan over the
+    [N] rows (sequential access — no [N]-scale random gather)."""
+
+    def comb(a, b):
+        am, av = a
+        bm, bv = b
+        return am | bm, jnp.where(bm, bv, av)
+
+    m, v = jax.lax.associative_scan(comb, (occupied, vals))
+    prev = jnp.concatenate([jnp.zeros((1,), vals.dtype), v[:-1]])
+    prev_m = jnp.concatenate([jnp.zeros((1,), bool), m[:-1]])
+    delta = jnp.where(occupied, vals - jnp.where(prev_m, prev, 0), 0)
+    dst = jnp.where(occupied, basex, cap)
+    col = jnp.zeros((cap,), jnp.int32).at[dst].set(delta, mode="drop")
+    return jnp.cumsum(col)
+
+
 def slot_compact_indices(
     occ: jax.Array, cap: int, method: str = "auto"
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

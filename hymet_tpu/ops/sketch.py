@@ -725,6 +725,14 @@ class ScreenEngine:
                 self._count_kmers_host(codes)
             return
         packed, mask, L = pack_code_batch(np.asarray(codes))
+        self.update_staged(jnp.asarray(packed), jnp.asarray(mask), L)
+
+    def update_staged(self, packed, mask, L: int) -> None:
+        """update_codes_packed for batches already packed (and typically
+        device-resident: upload-once contig sharing, pipeline/staged.py)
+        — the same fused unpack+hash+count program, no host pack."""
+        if self.db_hi.shape[0] == 0:
+            raise ValueError("staged screen updates need a non-empty DB")
         fn = (
             screen_update_fused_packed
             if self.counts.nbytes >= _DONATE_MIN_BYTES
@@ -732,9 +740,9 @@ class ScreenEngine:
         )
         self.counts, n_valid = fn(
             self.db_hi, self.db_lo, self.counts,
-            jnp.asarray(packed), jnp.asarray(mask), L, self.db.k,
+            packed, mask, L, self.db.k,
             self._use_pallas, self.db_hl, self.bkt2, bkt_steps=self.bkt_steps,
-            pref_cap=pref_cap_sized(codes.shape[0] * L, self._survival),
+            pref_cap=pref_cap_sized(packed.shape[0] * L, self._survival),
         )
         if self.track_kmers:
             self._kmer_parts.append(n_valid)

@@ -55,6 +55,8 @@ class ClassificationRun:
         self.cfg = config
         self.workdir = os.path.join(config.outdir, "work")
         self.timings = {}
+        self._staged = None  # upload-once contig batches (_stage_contigs)
+        self._contigs = None  # (names, seqs) read once for both stages
 
     # ------------------------------------------------------------------
 
@@ -76,6 +78,7 @@ class ClassificationRun:
         os.makedirs(self.workdir, exist_ok=True)
         os.makedirs(os.path.join(cfg.outdir, "logs"), exist_ok=True)
 
+        self._stage_contigs()
         if cfg.reference_fasta:
             # preset combined reference (bench subset / ablation mode):
             # candidate selection is moot
@@ -155,6 +158,40 @@ class ClassificationRun:
             return os.path.join(self.cfg.outdir, "logs", "profile")
         return flag
 
+    def _stage_contigs(self) -> None:
+        """Upload-once contig staging (pipeline/staged.py): read + pack +
+        upload the sample a single time for both device stages. Single
+        device, device-chain path only — the sharded engines ship their
+        own per-shard layouts, and the host-chain aligner consumes
+        unpacked rows. HYMET_SHARED_UPLOAD=0 disables."""
+        cfg = self.cfg
+        self._staged = None
+        self._contigs = None
+        if (
+            os.environ.get("HYMET_SHARED_UPLOAD", "1") != "1"
+            or os.environ.get("HYMET_HOST_CHAINS", "0") == "1"
+            or self._mesh() is not None
+        ):
+            return
+
+        def run():
+            from hymet_tpu.pipeline.staged import StagedContigs
+
+            qnames, qseqs = read_fasta(cfg.input_fasta)
+            self._contigs = (qnames, qseqs)
+            self._staged = StagedContigs(
+                qnames, qseqs, cfg.align_batch_pad, cfg.align_k + cfg.align_w
+            )
+            logger.info(
+                "staged %d contigs: %d device batches, %.1f MB packed "
+                "(uploaded once for screen + align)",
+                len(qseqs),
+                len(self._staged.device),
+                self._staged.packed_bytes / 1e6,
+            )
+
+        self._timed("upload", run)
+
     def _stage_screen(self) -> str:
         cfg = self.cfg
         selected = os.path.join(self.workdir, "selected_genomes.txt")
@@ -178,6 +215,7 @@ class ClassificationRun:
                 db_labels=labels,
                 chunk_bp=cfg.screen_chunk_bp,
                 mesh=mesh,
+                staged=self._staged,
             )
 
         self._timed("screen", run)
@@ -340,8 +378,14 @@ class ClassificationRun:
                 )
             t_stage = time.time() - t0
             t0 = time.time()
-            qnames, qseqs = read_fasta(cfg.input_fasta)
-            records = aligner.map_batch(qnames, qseqs)
+            if self._contigs is not None:
+                qnames, qseqs = self._contigs
+            else:
+                qnames, qseqs = read_fasta(cfg.input_fasta)
+            if mesh is None and self._staged is not None:
+                records = aligner.map_batch(qnames, qseqs, staged=self._staged)
+            else:
+                records = aligner.map_batch(qnames, qseqs)
             t_map = time.time() - t0
             logger.info(
                 "[align sub] index_load=%.2fs device_stage=%.2fs "

@@ -58,6 +58,7 @@ def stream_screen(
     query_files: Sequence[str],
     chunk_bp: int = 1 << 20,
     mesh=None,
+    staged=None,
 ) -> ScreenResult:
     """Stream all sequences of all query files through the screen engine.
 
@@ -65,7 +66,18 @@ def stream_screen(
     lost; chunks are batched as single rows (ragged batching happens in
     the engine's jit cache by chunk size). With a mesh, the db-sharded
     multi-device engine is used instead.
+
+    ``staged`` (:class:`hymet_tpu.pipeline.staged.StagedContigs`, single
+    device only): consume the upload-once device-resident batches instead
+    of re-reading + re-uploading the files — whole-contig rows carry the
+    same k-mer multiset as the k-1-overlapped chunk rows, so the counts
+    are byte-identical.
     """
+    if staged is not None and mesh is None:
+        eng = ScreenEngine(db)
+        for packed, mask, _rows, L in staged.device:
+            eng.update_staged(packed, mask, L)
+        return eng.finalize()
     if mesh is not None:
         from hymet_tpu.parallel.screen import ShardedScreenEngine
 
@@ -193,6 +205,7 @@ def run_screen_stage(
     db_labels: Optional[Sequence[str]] = None,
     chunk_bp: int = 1 << 20,
     mesh=None,
+    staged=None,
 ) -> List[str]:
     """Full stage over multiple sketch DBs (the reference screens sketch1,
     sketch2, sketch3 and unions the selections, ``run_hymet_cami.sh:83-98``).
@@ -211,7 +224,9 @@ def run_screen_stage(
     results: List[ScreenResult]
     if len(dbs) > 1 and len({db.k for db in dbs}) == 1:
         merged = SketchDB.concat(dbs)
-        res = stream_screen(merged, query_files, chunk_bp=chunk_bp, mesh=mesh)
+        res = stream_screen(
+            merged, query_files, chunk_bp=chunk_bp, mesh=mesh, staged=staged
+        )
         results = []
         off = 0
         for db in dbs:
@@ -219,7 +234,9 @@ def run_screen_stage(
             off += db.n_refs
     else:
         results = [
-            stream_screen(db, query_files, chunk_bp=chunk_bp, mesh=mesh)
+            stream_screen(
+                db, query_files, chunk_bp=chunk_bp, mesh=mesh, staged=staged
+            )
             for db in dbs
         ]
 

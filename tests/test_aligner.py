@@ -295,6 +295,13 @@ def test_device_chains_match_host_chains(monkeypatch):
     assert all(aln._fb_tables(p) is not None for p in pads), pads
     flat_recs = aln.map_batch(names, seqs)
     assert flat_recs == dev_recs
+    # ... and the scatter+cumsum value fill (no [acap]-row qmeta gather;
+    # monotonic qmeta repack + wrap-delta cumsum reconstruct every slot,
+    # valid or pad, byte-identically)
+    monkeypatch.delenv("HYMET_FLAT_BAND", raising=False)
+    monkeypatch.setenv("HYMET_SLOT_FILL", "1")
+    fill_recs = aln.map_batch(names, seqs)
+    assert fill_recs == dev_recs
 
 
 def test_pipelined_dispatch_many_groups(monkeypatch):

@@ -197,6 +197,25 @@ def test_full_run_sharded_screen_matches(world, tmp_path):
     assert open(out1, "rb").read() == open(out2, "rb").read()
 
 
+def test_full_run_shared_upload_matches(world, tmp_path, monkeypatch):
+    """Upload-once contig staging (screen + align share device-resident
+    packed batches, pipeline/staged.py) must classify byte-identically
+    to the per-stage upload path."""
+    monkeypatch.setenv("HYMET_SHARED_UPLOAD", "0")
+    cfg1 = _config(world, tmp_path / "twice")
+    out1 = ClassificationRun(cfg1).execute()
+
+    monkeypatch.setenv("HYMET_SHARED_UPLOAD", "1")
+    cfg2 = _config(world, tmp_path / "once")
+    cfg2.cache_root = str(tmp_path / "cache_once")
+    run2 = ClassificationRun(cfg2)
+    out2 = run2.execute()
+
+    assert open(out1, "rb").read() == open(out2, "rb").read()
+    assert run2._staged is not None, "staging did not engage"
+    assert "upload" in run2.timings
+
+
 def test_fallback_on_missing_hierarchy(world, tmp_path):
     """With an empty hierarchy (no taxids resolvable to lineages), the
     primary classifier still writes rows; with an empty taxonomy TSV the
