@@ -1052,11 +1052,11 @@ class MinimizerAligner:
         for gi, group in enumerate(groups):
             for gj in range(gi, min(gi + lookahead, len(groups))):
                 if gj not in pending:
-                    staged = _stage(gj)
+                    st = _stage(gj)
                     shape = (
-                        (staged[2], staged[3])
-                        if isinstance(staged, tuple)
-                        else tuple(staged.shape)
+                        (st[2], st[3])
+                        if isinstance(st, tuple)
+                        else tuple(st.shape)
                     )
                     if shape not in self._seen_shapes:
                         # three e2e runs "hung" silently for hours here:
@@ -1068,7 +1068,7 @@ class MinimizerAligner:
                             "cache)", gj + 1, len(groups), shape,
                         )
                         self._seen_shapes.add(shape)
-                    pending[gj] = self._dispatch_batch(staged)
+                    pending[gj] = self._dispatch_batch(st)
             chains = self._finish_batch(pending.pop(gi))
             if gi % 8 == 7 or gi == len(groups) - 1:
                 logger.info("[align] %d/%d groups done", gi + 1, len(groups))

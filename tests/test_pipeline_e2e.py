@@ -200,19 +200,38 @@ def test_full_run_sharded_screen_matches(world, tmp_path):
 def test_full_run_shared_upload_matches(world, tmp_path, monkeypatch):
     """Upload-once contig staging (screen + align share device-resident
     packed batches, pipeline/staged.py) must classify byte-identically
-    to the per-stage upload path."""
+    to the per-stage upload path — across MULTIPLE pad-bucket groups
+    (a one-group sample let a staged-batch shadowing bug through)."""
+    import gzip
+
+    # mixed-length queries spanning two pad buckets (8192 and 16384)
+    rng = np.random.default_rng(55)
+    qf = tmp_path / "mixed.fna"
+    with qf.open("w") as f:
+        i = 0
+        for fn in sorted(os.listdir(world["genomes_dir"])):
+            with gzip.open(os.path.join(world["genomes_dir"], fn), "rt") as g:
+                seq = "".join(ln.strip() for ln in g if not ln.startswith(">"))
+            for lo, ln in ((500, 3000), (11000, 9000)):
+                frag = _mutate(rng, seq[lo : lo + ln].encode(), 0.02)
+                f.write(f">mx{i}\n{frag.decode()}\n")
+                i += 1
+
     monkeypatch.setenv("HYMET_SHARED_UPLOAD", "0")
     cfg1 = _config(world, tmp_path / "twice")
+    cfg1.input_fasta = str(qf)
     out1 = ClassificationRun(cfg1).execute()
 
     monkeypatch.setenv("HYMET_SHARED_UPLOAD", "1")
     cfg2 = _config(world, tmp_path / "once")
+    cfg2.input_fasta = str(qf)
     cfg2.cache_root = str(tmp_path / "cache_once")
     run2 = ClassificationRun(cfg2)
     out2 = run2.execute()
 
     assert open(out1, "rb").read() == open(out2, "rb").read()
     assert run2._staged is not None, "staging did not engage"
+    assert len(run2._staged.device) >= 2, "need >= 2 pad-bucket groups"
     assert "upload" in run2.timings
 
 
