@@ -87,6 +87,16 @@ class AlignerConfig:
     pri_ratio: float = 0.8  # secondary kept if score >= 0.8 * its primary
     max_secondary: int = 50  # minimap2 asm10 -N 50
     mask_level: float = 0.5  # query-overlap fraction marking a chain secondary
+    # minimap2 applies pri_ratio to the ANCHOR-BASED chain score (s1);
+    # our mlen = min(cnt*k, span) saturates at the query span for dense
+    # anchor runs, losing that signal — a 0.4%-divergent sibling strain
+    # ties the true strain on mlen (span-equal) while trailing ~15% on
+    # anchor count, and its surviving secondary row then coin-flips the
+    # classifier's strain pick (cami_hard diagnosis: 33.8% of contigs).
+    # Secondaries dominated by >= 10% on anchor count are dropped;
+    # near-equal explanations (novel-species relatives at ~equal counts)
+    # are kept so the LCA can still back off. 0 disables.
+    sec_count_ratio: float = 0.9
     batch_pad: int = 1 << 16  # query padding quantum
 
 
@@ -1436,7 +1446,10 @@ def emit_paf(
 ) -> List[PafRecord]:
     if not chains:
         return []
-    chains.sort(key=lambda c: -c.mlen)
+    # anchor count breaks mlen ties (mlen saturates at the query span for
+    # dense runs): the primary must be the better-SUPPORTED chain, or the
+    # count-dominance filter below could drop the true strain instead
+    chains.sort(key=lambda c: (-c.mlen, -c.count))
     # minimap2-style primary marking (mm_set_parent): walking chains by
     # descending score, a chain is secondary iff its query interval
     # overlaps an already-chosen primary by > mask_level of the shorter
@@ -1472,7 +1485,10 @@ def emit_paf(
             frac = sub / c.mlen if c.mlen else 1.0
             mapq = int(min(60, max(0, 60 * (1.0 - frac))))
         else:
-            if c.mlen < cfg.pri_ratio * primaries[parent][0].mlen:
+            pri = primaries[parent][0]
+            if c.mlen < cfg.pri_ratio * pri.mlen:
+                continue
+            if cfg.sec_count_ratio and c.count < cfg.sec_count_ratio * pri.count:
                 continue
             if n_sec >= cfg.max_secondary:
                 continue
