@@ -45,6 +45,7 @@ import functools
 import logging
 import math
 import os
+import time
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -1059,10 +1060,13 @@ class MinimizerAligner:
         # overlap compute for free (transfers are async)
         pending: dict = {}
         lookahead = 4
+        t_stage = t_finish = 0.0  # leg attribution (round-4 e2e diagnosis)
         for gi, group in enumerate(groups):
             for gj in range(gi, min(gi + lookahead, len(groups))):
                 if gj not in pending:
+                    t0 = time.perf_counter()
                     st = _stage(gj)
+                    t_stage += time.perf_counter() - t0
                     shape = (
                         (st[2], st[3])
                         if isinstance(st, tuple)
@@ -1079,12 +1083,18 @@ class MinimizerAligner:
                         )
                         self._seen_shapes.add(shape)
                     pending[gj] = self._dispatch_batch(st)
+            t0 = time.perf_counter()
             chains = self._finish_batch(pending.pop(gi))
+            t_finish += time.perf_counter() - t0
             if gi % 8 == 7 or gi == len(groups) - 1:
                 logger.info("[align] %d/%d groups done", gi + 1, len(groups))
             for ch in chains:
                 if ch.qid < len(group):
                     per_query[group[ch.qid]].append(ch)
+        logger.info(
+            "[align] legs: stage(build+upload)=%.2fs finish(fetch+host)=%.2fs"
+            " staged=%s", t_stage, t_finish, use_staged,
+        )
 
         for i, name in enumerate(names):
             records.extend(
