@@ -763,7 +763,7 @@ def _chain_reduce_sorted_flat(
     return out, n_chains
 
 
-def _extract_chains_impl(
+def _collect_sorted_impl(
     idx_hl,
     idx_roff2,
     idx_ps,
@@ -774,9 +774,6 @@ def _extract_chains_impl(
     band_bits: int,
     cap: int,
     acap: int,
-    ccap: int,
-    min_cnt: int,
-    min_mlen: int,
     bkt2=None,
     bkt_bits: int = 0,
     bkt_steps: int = 0,
@@ -786,14 +783,16 @@ def _extract_chains_impl(
     fb_base2=None,
     slot_fill: bool = False,
 ):
-    """Whole aligner device path as ONE program: minimizer extraction ->
+    """Front half of the aligner device path: minimizer extraction ->
     argsort+gather compaction -> bucketed anchor search -> slot
-    compaction + packed 2-key sort -> on-device chain segmentation +
-    filtering. The host receives only the final [ccap, 8] chain rows
-    (~KB) instead of per-anchor arrays (~MB). Returns
-    (chains, n_chains, n_kept, n_anchors); a count above its cap
-    (n_kept > cap, n_anchors > acap, n_chains > ccap) means the caller
-    must retry with that cap doubled."""
+    compaction + packed 2-key sort. Returns the sorted anchor columns
+    plus (n_anchors, n_kept); the chain segmentation runs as a SEPARATE
+    program (:func:`_chain_reduce_fused`) — round-3/4 compile-time
+    attribution showed the chain-reduce suffix adds 100-220 s of
+    XLA:TPU compile per pad-bucket program (the 40-min e2e grinds on a
+    degraded tunnel compile service were exactly these), while the
+    anchor-sort prefix compiles in ~40 s. Splitting lets the expensive
+    half compile ONCE at pow2-padded shapes shared by every bucket."""
     m_hi, m_lo, m_pos, m_strand, m_keep = extract_minimizers_jax(batch, k, w)
     B, NW = m_hi.shape
     assert B <= 64, "packed k1 key layout requires <= 64 query rows"
@@ -844,29 +843,65 @@ def _extract_chains_impl(
     )
     if stage in (3, 4, 5):  # checksum tuple from the truncated collector
         return collected
+    return (*collected, n_kept)
+
+
+def _extract_chains_impl(
+    idx_hl,
+    idx_roff2,
+    idx_ps,
+    batch,  # [B, L] uint8 codes
+    k: int,
+    w: int,
+    max_occ: int,
+    band_bits: int,
+    cap: int,
+    acap: int,
+    ccap: int,
+    min_cnt: int,
+    min_mlen: int,
+    bkt2=None,
+    bkt_bits: int = 0,
+    bkt_steps: int = 0,
+    bsearch: bool = True,
+    stage: int = 0,
+    min_bsearch: bool = False,
+    fb_base2=None,
+    slot_fill: bool = False,
+):
+    """Whole aligner device path as one traceable composition (used by
+    the sharded aligner, whose shard_map compiles everything as one
+    program anyway): :func:`_collect_sorted_impl` + chain reduce.
+    Returns (chains, n_chains, n_kept, n_anchors); a count above its cap
+    (n_kept > cap, n_anchors > acap, n_chains > ccap) means the caller
+    must retry with that cap doubled."""
+    outs = _collect_sorted_impl(
+        idx_hl, idx_roff2, idx_ps, batch, k, w, max_occ, band_bits, cap,
+        acap, bkt2, bkt_bits, bkt_steps, bsearch, stage, min_bsearch,
+        fb_base2, slot_fill,
+    )
+    if stage:
+        return outs
     if fb_base2 is not None:
-        s_key, s_p, s_r, n_anchors = collected
+        s_key, s_p, s_r, n_anchors, n_kept = outs
         chains, n_chains = _chain_reduce_sorted_flat(
             s_key, s_p, s_r, fb_base2[1], k, min_cnt, min_mlen, ccap
         )
     else:
-        s_k1, s_k2, s_p, s_r, n_anchors = collected
+        s_k1, s_k2, s_p, s_r, n_anchors, n_kept = outs
         chains, n_chains = _chain_reduce_sorted(
             s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap
         )
     return chains, n_chains, n_kept, n_anchors
 
 
-_FUSED_STATICS = (
+_COLLECT_STATICS = (
     "k",
     "w",
     "max_occ",
     "band_bits",
     "cap",
     "acap",
-    "ccap",
-    "min_cnt",
-    "min_mlen",
     "bkt_bits",
     "bkt_steps",
     "bsearch",
@@ -875,18 +910,155 @@ _FUSED_STATICS = (
     "slot_fill",
 )
 
-_extract_chains_fused = functools.partial(
-    jax.jit, static_argnames=_FUSED_STATICS
-)(_extract_chains_impl)
+_collect_sorted_fused = functools.partial(
+    jax.jit, static_argnames=_COLLECT_STATICS
+)(_collect_sorted_impl)
 
 
-@functools.partial(jax.jit, static_argnames=_FUSED_STATICS + ("L",))
-def _extract_chains_fused_packed(
+@functools.partial(
+    jax.jit, static_argnames=("k", "min_cnt", "min_mlen", "ccap")
+)
+def _chain_reduce_fused(s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap):
+    return _chain_reduce_sorted(s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "min_cnt", "min_mlen", "ccap")
+)
+def _chain_reduce_fused_flat(s_key, s_p, s_r, fb_dec, k, min_cnt, min_mlen, ccap):
+    return _chain_reduce_sorted_flat(
+        s_key, s_p, s_r, fb_dec, k, min_cnt, min_mlen, ccap
+    )
+
+
+def _pow2_ceil(x: int) -> int:
+    return 1 << max(0, int(x) - 1).bit_length() if x > 1 else 1
+
+
+def _reduce_sorted_outs(outs, fb_base2, k, min_cnt, min_mlen, ccap):
+    """Run the chain-reduce program over A's sorted columns, padded to
+    pow2 shapes so ONE reduce compile serves every pad bucket (padding
+    appends _KEY_BIG sentinel anchors — invalid everywhere downstream,
+    so chain rows [:n_chains] are byte-identical to the monolith)."""
+    *cols, n_anchors, n_kept = outs
+    acap = cols[0].shape[0]
+    acap_b = _pow2_ceil(acap)
+    ccap_b = _pow2_ceil(ccap)
+    if acap_b > acap:
+        pad = acap_b - acap
+        big = jnp.uint32(_KEY_BIG)
+        fills = [big, big, 0, 0] if len(cols) == 4 else [big, 0, 0]
+        cols = [
+            jnp.concatenate([c, jnp.full((pad,), f, c.dtype)])
+            for c, f in zip(cols, fills)
+        ]
+    if fb_base2 is not None:
+        chains, n_chains = _chain_reduce_fused_flat(
+            *cols, fb_base2[1], k=k, min_cnt=min_cnt, min_mlen=min_mlen,
+            ccap=ccap_b,
+        )
+    else:
+        chains, n_chains = _chain_reduce_fused(
+            *cols, k=k, min_cnt=min_cnt, min_mlen=min_mlen, ccap=ccap_b
+        )
+    return chains, n_chains, n_kept, n_anchors
+
+
+def _extract_chains_fused(
+    idx_hl,
+    idx_roff2,
+    idx_ps,
+    batch,
+    k: int,
+    w: int,
+    max_occ: int,
+    band_bits: int,
+    cap: int,
+    acap: int,
+    ccap: int,
+    min_cnt: int,
+    min_mlen: int,
+    bkt2=None,
+    bkt_bits: int = 0,
+    bkt_steps: int = 0,
+    bsearch: bool = True,
+    stage: int = 0,
+    min_bsearch: bool = False,
+    fb_base2=None,
+    slot_fill: bool = False,
+):
+    """Single-device fused align path, SPLIT into two programs (see
+    :func:`_collect_sorted_impl` for why). Same signature/returns as the
+    old monolithic jit."""
+    outs = _collect_sorted_fused(
+        idx_hl, idx_roff2, idx_ps, batch, k, w, max_occ, band_bits, cap,
+        acap, bkt2, bkt_bits, bkt_steps, bsearch=bsearch, stage=stage,
+        min_bsearch=min_bsearch, fb_base2=fb_base2, slot_fill=slot_fill,
+    )
+    if stage:
+        return outs
+    return _reduce_sorted_outs(outs, fb_base2, k, min_cnt, min_mlen, ccap)
+
+
+@functools.partial(jax.jit, static_argnames=_COLLECT_STATICS + ("L",))
+def _collect_sorted_fused_packed(
     idx_hl,
     idx_roff2,
     idx_ps,
     packed,  # [B, L/4] 2-bit codes (io.fasta.pack_code_batch)
     mask,  # [B, L/8] validity bits
+    L: int,
+    k: int,
+    w: int,
+    max_occ: int,
+    band_bits: int,
+    cap: int,
+    acap: int,
+    bkt2=None,
+    bkt_bits: int = 0,
+    bkt_steps: int = 0,
+    bsearch: bool = True,
+    stage: int = 0,
+    min_bsearch: bool = False,
+    fb_base2=None,
+    slot_fill: bool = False,
+):
+    """:func:`_collect_sorted_impl` on a 2-bit packed batch — 0.375
+    bytes/base across the host->device link instead of 1 (the link is
+    the bottleneck of real runs; the reference streams whole FASTAs into
+    minimap2 instead, ``scripts/minimap2.sh:23``). The gather-free
+    unpack fuses into the same program."""
+    from hymet_tpu.ops.hashing import unpack_code_batch_jax
+
+    batch = unpack_code_batch_jax(packed, mask, L)
+    return _collect_sorted_impl(
+        idx_hl,
+        idx_roff2,
+        idx_ps,
+        batch,
+        k,
+        w,
+        max_occ,
+        band_bits,
+        cap,
+        acap,
+        bkt2,
+        bkt_bits,
+        bkt_steps,
+        bsearch,
+        stage,
+        min_bsearch,
+        fb_base2,
+        slot_fill,
+    )
+
+
+def _extract_chains_fused_packed(
+    idx_hl,
+    idx_roff2,
+    idx_ps,
+    packed,
+    mask,
     L: int,
     k: int,
     w: int,
@@ -906,37 +1078,17 @@ def _extract_chains_fused_packed(
     fb_base2=None,
     slot_fill: bool = False,
 ):
-    """:func:`_extract_chains_impl` on a 2-bit packed batch — 0.375
-    bytes/base across the host->device link instead of 1 (the link is
-    the bottleneck of real runs; the reference streams whole FASTAs into
-    minimap2 instead, ``scripts/minimap2.sh:23``). The gather-free
-    unpack fuses into the same program."""
-    from hymet_tpu.ops.hashing import unpack_code_batch_jax
-
-    batch = unpack_code_batch_jax(packed, mask, L)
-    return _extract_chains_impl(
-        idx_hl,
-        idx_roff2,
-        idx_ps,
-        batch,
-        k,
-        w,
-        max_occ,
-        band_bits,
-        cap,
-        acap,
-        ccap,
-        min_cnt,
-        min_mlen,
-        bkt2,
-        bkt_bits,
-        bkt_steps,
-        bsearch,
-        stage,
-        min_bsearch,
-        fb_base2,
-        slot_fill,
+    """Packed-input twin of :func:`_extract_chains_fused` (two-program
+    split; same signature/returns as the old monolithic jit)."""
+    outs = _collect_sorted_fused_packed(
+        idx_hl, idx_roff2, idx_ps, packed, mask, L, k, w, max_occ,
+        band_bits, cap, acap, bkt2, bkt_bits, bkt_steps, bsearch=bsearch,
+        stage=stage, min_bsearch=min_bsearch, fb_base2=fb_base2,
+        slot_fill=slot_fill,
     )
+    if stage:
+        return outs
+    return _reduce_sorted_outs(outs, fb_base2, k, min_cnt, min_mlen, ccap)
 
 
 def _chains_from_rows(

@@ -28,7 +28,7 @@ from hymet_tpu.io.paf import PafRecord
 from hymet_tpu.models.aligner import (
     AlignerConfig,
     _chains_from_rows,
-    _extract_chains_fused,
+    _extract_chains_impl,
     _round_4k,
     build_search_tables,
     pad_query_len,
@@ -150,7 +150,7 @@ class ShardedMinimizerAligner:
             # local index slice (extraction is recomputed per shard — cheap
             # relative to any host round trip); chains segment on device,
             # so only [ccap, 8] chain rows per shard reach the host
-            chains, n_chains, n_kept, n_anchors = _extract_chains_fused(
+            chains, n_chains, n_kept, n_anchors = _extract_chains_impl(
                 i_hl[0],
                 i_roff2[0],
                 i_ps[0],
