@@ -151,3 +151,120 @@ def test_kraken_taxid_forms():
     assert _kraken_taxid("Escherichia coli (taxid 562)") == "562"
     assert _kraken_taxid("562") == "562"
     assert _kraken_taxid("unclassified") == "0"
+
+
+def test_centrifuge_kreport_leg(world, monkeypatch, tmp_path, mini_taxdb):
+    """Centrifuge runner: classify -> centrifuge-kreport (stdout capture)
+    -> CAMI profile (``bench/run_centrifuge.sh`` contract)."""
+    monkeypatch.setenv("CENTRIFUGE_DB", str(tmp_path / "cfdb"))
+    _shim(
+        world["bindir"],
+        "centrifuge",
+        """
+out=""
+while [ $# -gt 0 ]; do
+  case "$1" in
+    -S) out="$2"; shift 2;;
+    *) shift;;
+  esac
+done
+printf 'readID\\tseqID\\ttaxID\\tscore\\n' > "$out"
+printf 'c1\\tNC_000913.3\\t562\\t100\\n' >> "$out"
+""",
+    )
+    # the runner captures this tool's STDOUT into the kreport file
+    _shim(
+        world["bindir"],
+        "centrifuge-kreport",
+        """
+printf '100.00\\t10\\t0\\tR\\t1\\troot\\n'
+printf ' 90.00\\t9\\t0\\tD\\t2\\t  Bacteria\\n'
+printf ' 80.00\\t8\\t0\\tS\\t562\\t    Escherichia coli\\n'
+""",
+    )
+    out = tmp_path / "cf"
+    out.mkdir()
+    assert run_baseline_tool("centrifuge", world["row"], str(out), 1)
+    prof = (out / "profile.cami.tsv").read_text()
+    assert "562\tspecies" in prof
+    assert (out / "centrifuge.out").read_text().splitlines()[1].startswith("c1\t")
+    assert (out / "metadata.json").exists()
+
+
+def test_sourmash_gather_leg(world, monkeypatch, tmp_path, mini_taxdb):
+    """Sourmash runner: sketch -> gather CSV -> seqmap-resolved CAMI
+    profile (``bench/run_sourmash.sh`` contract). The gather CSV's match
+    name resolves through the versionless-accession fallback."""
+    monkeypatch.setenv("SOURMASH_DB", str(tmp_path / "smdb.zip"))
+    seqmap = tmp_path / "seqid2taxid.tsv"
+    # versionless key: the gather name carries NC_000913.3
+    seqmap.write_text("NC_000913\t562\n")
+    monkeypatch.setenv("SOURMASH_SEQMAP", str(seqmap))
+    hier_dir = tmp_path / "tax"
+    hier_dir.mkdir()
+    mini_taxdb.write_hierarchy_tsv(str(hier_dir / "taxonomy_hierarchy.tsv"))
+    monkeypatch.setenv("TAXONKIT_DB", str(hier_dir))
+    _shim(
+        world["bindir"],
+        "sourmash",
+        """
+cmd="$1"; shift
+out=""
+while [ $# -gt 0 ]; do
+  case "$1" in
+    -o) out="$2"; shift 2;;
+    *) shift;;
+  esac
+done
+if [ "$cmd" = "sketch" ]; then
+  printf 'sig' > "$out"
+else
+  printf 'name,f_unique_to_query\\n' > "$out"
+  printf '"NC_000913.3 Escherichia coli str. K-12",0.8\\n' >> "$out"
+fi
+""",
+    )
+    out = tmp_path / "sm"
+    out.mkdir()
+    assert run_baseline_tool("sourmash", world["row"], str(out), 1)
+    prof = (out / "profile.cami.tsv").read_text()
+    assert "562\tspecies\t2|" in prof
+    assert "Escherichia coli" in prof
+
+
+def test_metaphlan_split_reads_retry(world, monkeypatch, tmp_path, mini_taxdb):
+    """MetaPhlAn runner: a first failure retries with <=4 threads +
+    --split_reads (``bench/run_metaphlan4.sh:101-125``); the v4 4-column
+    dialect (taxid chain in col 2) converts by lineage NAME, not by the
+    chain column."""
+    hier_dir = tmp_path / "tax"
+    hier_dir.mkdir()
+    mini_taxdb.write_hierarchy_tsv(str(hier_dir / "taxonomy_hierarchy.tsv"))
+    monkeypatch.setenv("TAXONKIT_DB", str(hier_dir))
+    _shim(
+        world["bindir"],
+        "metaphlan",
+        """
+out=""
+split=0
+while [ $# -gt 0 ]; do
+  case "$1" in
+    -o) out="$2"; shift 2;;
+    --split_reads) split=1; shift;;
+    *) shift;;
+  esac
+done
+[ "$split" = "1" ] || exit 1
+printf '#mpa_vJun23\\n' > "$out"
+printf '#clade_name\\tNCBI_tax_id\\trelative_abundance\\tadditional_species\\n' >> "$out"
+printf 'k__Bacteria\\t2\\t100.0\\t\\n' >> "$out"
+printf 'k__Bacteria|p__Pseudomonadota|c__Gammaproteobacteria|o__Enterobacterales|f__Enterobacteriaceae|g__Escherichia|s__Escherichia_coli\\t2|1224|1236|91347|543|561|562\\t100.0\\t\\n' >> "$out"
+""",
+    )
+    out = tmp_path / "mp4"
+    out.mkdir()
+    assert run_baseline_tool("metaphlan4", world["row"], str(out), 4)
+    prof = (out / "profile.cami.tsv").read_text()
+    # species row resolved via name2taxid on the s__ component
+    assert "562\tspecies" in prof
+    assert "Escherichia coli" in prof
