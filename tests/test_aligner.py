@@ -449,3 +449,60 @@ def test_pad_query_len_buckets():
     assert pad_query_len(2 * q + 1, q) == 4 * q  # geometric past 2 quanta
     assert pad_query_len(700_000, q) == 1 << 20
     assert pad_query_len(1 << 20, q) == 1 << 20
+
+
+def test_split_matches_monolith_reduce():
+    """The two-program align split (per-bucket collect + chain reduce
+    compiled once at pow2-padded (acap, ccap), commit 313c2c1) must emit
+    chain rows byte-identical to the monolithic composition at EXACT
+    caps: the pow2 padding appends _KEY_BIG sentinel anchors, which the
+    segmentation already treats as the sorted tail. Caps are chosen
+    non-pow2 so the padding actually engages."""
+    from hymet_tpu.models.aligner import (
+        _extract_chains_fused,
+        _extract_chains_impl,
+        build_search_tables,
+    )
+
+    rng = np.random.default_rng(407)
+    genomes, index = _build_panel_index(rng)
+    gmap = dict(genomes)
+    pad = 1 << 13
+    queries = [
+        gmap["r0"],
+        _mutate(rng, gmap["r1"], 0.04),
+        gmap["r2"][:4000] + gmap["r3"][2000:6000],
+    ]
+    aln = MinimizerAligner(index, AlignerConfig(batch_pad=pad))
+    from hymet_tpu.models.aligner import build_group_batch, plan_query_groups
+
+    groups, fixed_rows = plan_query_groups(
+        [len(s) for s in queries], pad, index.k + index.w
+    )
+    batch = build_group_batch(queries, groups[0], pad, index.k + index.w, fixed_rows)
+    B, L = batch.shape
+    NW, cap = aln._minimizer_cap(B, L)
+    acap, ccap = aln._device_caps(B, NW, cap)
+    # force non-pow2 caps (the 4096 quantum makes these non-pow2 already
+    # for most worlds; assert so the pad path is actually exercised)
+    if acap == 1 << (acap.bit_length() - 1):
+        acap = acap * 3 // 2
+    assert acap != 1 << (acap.bit_length() - 1)
+    common = dict(
+        bkt2=aln._bkt2,
+        bkt_bits=aln._bkt_bits,
+        bkt_steps=aln._bkt_steps,
+    )
+    args = (
+        aln._idx_hl, aln._idx_roff2, aln._idx_ps, jnp.asarray(batch),
+        index.k, index.w, aln.cfg.max_occ, aln.cfg.band_bits,
+        cap, acap, ccap, aln.cfg.min_cnt, aln.cfg.min_mlen,
+    )
+    chains_s, n_s, kept_s, anch_s = _extract_chains_fused(*args, **common)
+    chains_m, n_m, kept_m, anch_m = _extract_chains_impl(*args, **common)
+    n_s, n_m = int(n_s), int(n_m)
+    assert (n_s, int(kept_s), int(anch_s)) == (n_m, int(kept_m), int(anch_m))
+    assert n_s > 0, "world produced no chains — setup broken"
+    np.testing.assert_array_equal(
+        np.asarray(chains_s[:n_s]), np.asarray(chains_m[:n_m])
+    )
