@@ -1091,6 +1091,20 @@ def _extract_chains_fused_packed(
     return _reduce_sorted_outs(outs, fb_base2, k, min_cnt, min_mlen, ccap)
 
 
+def _is_compile_service_error(e: Exception) -> bool:
+    """True for failures of the REMOTE compile service (not of this
+    program): the dev tunnel's compile helper can be OOM-SIGKILLed on
+    the largest programs (observed round 4 on the biggest pad bucket's
+    pow2 chain-reduce: ``INTERNAL: http://...:8093/remote_compile: HTTP
+    500: tpu_compile_helper subprocess exit signal SIGKILL (9)``) or
+    return 5xx on service restarts. Tracing/shape errors (our bugs)
+    must NOT match — they re-raise."""
+    s = str(e)
+    return "remote_compile" in s or (
+        "INTERNAL" in s and "compile" in s.lower()
+    )
+
+
 def _chains_from_rows(
     rows: np.ndarray, k: int, seq_offset: int = 0
 ) -> List["_Chain"]:
@@ -1158,6 +1172,14 @@ class MinimizerAligner:
         self._fb_cache: dict = {}  # padded L -> flat-band tables (or None)
         self._exp_occ = expected_anchor_occ(index.hashes, self.cfg.max_occ)
         self._seen_shapes: set = set()  # (rows, pad) buckets already logged
+        # (rows, pad) buckets whose device-chain program hit a compile-
+        # service failure (observed round 4: the tunnel's compile helper
+        # OOM-SIGKILLs the largest pad bucket's pow2 chain-reduce,
+        # surfacing as "HTTP 500 ... SIGKILL" JaxRuntimeError). Those
+        # buckets stick to the byte-identical host-chain path
+        # (test_device_chains_match_host_chains) for this aligner's
+        # lifetime; every other bucket stays on device chains.
+        self._dev_broken: set = set()
 
     # ------------------------------------------------------------------
 
@@ -1288,25 +1310,7 @@ class MinimizerAligner:
 
         if not packed_in and os.environ.get("HYMET_HOST_CHAINS", "0") == "1":
             batch_j = batch if hasattr(batch, "devices") else jnp.asarray(batch)
-            # legacy host-segmentation path (round-1/2 default, kept for
-            # A/B and as the compile-safe fallback on tunnel stalls): it
-            # downloads per-anchor arrays (~MB/batch) where the device
-            # path returns only [ccap, 8] chain rows (~KB).
-            outs = _extract_collect_sort_fused(
-                self._idx_hl,
-                self._idx_roff2,
-                self._idx_ps,
-                batch_j,
-                k,
-                self.index.w,
-                cfg.max_occ,
-                cfg.band_bits,
-                cap,
-                self._bkt2,
-                self._bkt_bits,
-                self._bkt_steps,
-            )
-            return ("host", cap, batch_j, outs)
+            return self._dispatch_host(batch_j, cap)
 
         if not packed_in:
             if isinstance(batch, np.ndarray):
@@ -1316,9 +1320,59 @@ class MinimizerAligner:
             else:
                 batch_j = batch  # already on device: no transfer to save
         data_args = (packed, mask, L) if packed_in else (batch_j,)
+        if (B, L) in self._dev_broken:
+            return self._dispatch_host(self._unpack_args(data_args), cap)
         acap, ccap = self._device_caps(B, NW, cap)
-        outs = self._dispatch_fused(data_args, cap, acap, ccap)
+        try:
+            outs = self._dispatch_fused(data_args, cap, acap, ccap)
+        except Exception as e:  # noqa: BLE001 — compile-service triage
+            if not _is_compile_service_error(e):
+                raise
+            self._mark_dev_broken(B, L, e)
+            return self._dispatch_host(self._unpack_args(data_args), cap)
         return ("dev", cap, acap, ccap, data_args, outs)
+
+    def _dispatch_host(self, batch_j, cap: int):
+        """Legacy host-segmentation dispatch (round-1/2 default, kept for
+        A/B and as the compile-safe fallback on tunnel stalls/compile-
+        helper failures): it downloads per-anchor arrays (~MB/batch)
+        where the device path returns only [ccap, 8] chain rows (~KB).
+        Results are byte-identical to the device path."""
+        outs = _extract_collect_sort_fused(
+            self._idx_hl,
+            self._idx_roff2,
+            self._idx_ps,
+            batch_j,
+            self.index.k,
+            self.index.w,
+            self.cfg.max_occ,
+            self.cfg.band_bits,
+            cap,
+            self._bkt2,
+            self._bkt_bits,
+            self._bkt_steps,
+        )
+        return ("host", cap, batch_j, outs)
+
+    def _unpack_args(self, data_args):
+        """[B, L] uint8 code batch for the host-chain program from either
+        dispatch layout ((packed, mask, L) or (batch,)); the device-side
+        unpack reconstructs pack_code_batch's input exactly."""
+        if len(data_args) == 3:
+            from hymet_tpu.ops.hashing import unpack_code_batch_jax
+
+            packed, mask, L = data_args
+            return unpack_code_batch_jax(packed, mask, L)
+        return data_args[0]
+
+    def _mark_dev_broken(self, B: int, L: int, e: Exception) -> None:
+        self._dev_broken.add((B, L))
+        logger.warning(
+            "[align] device-chain program failed to compile for bucket "
+            "(%d, %d) — tunnel compile-service failure (%s); this bucket "
+            "uses the byte-identical host-chain path from now on",
+            B, L, str(e).splitlines()[0][:200],
+        )
 
     def _minimizer_cap(self, B: int, L: int):
         """(window count, minimizer compaction cap) for a [B, L] batch.
@@ -1486,6 +1540,20 @@ class MinimizerAligner:
             )
 
         _, cap, acap, ccap, data_args, outs = pending
+
+        def _redispatch(cap, acap, ccap):
+            # an overflow-retry recompile can hit the same compile-
+            # service failure as the initial dispatch: same triage,
+            # same sticky host fallback for this bucket
+            try:
+                return None, self._dispatch_fused(data_args, cap, acap, ccap)
+            except Exception as e:  # noqa: BLE001 — compile-service triage
+                if not _is_compile_service_error(e):
+                    raise
+                batch_j = self._unpack_args(data_args)
+                self._mark_dev_broken(*batch_j.shape, e)
+                return self._dispatch_host(batch_j, cap), None
+
         while True:
             chains, n_chains, n_kept, n_anchors = outs
             n_chains_i, n_kept_i, n_anchors_i = map(
@@ -1499,7 +1567,9 @@ class MinimizerAligner:
                 )
                 cap *= 2
                 self._cap_boost *= 2
-                outs = self._dispatch_fused(data_args, cap, acap, ccap)
+                host_pending, outs = _redispatch(cap, acap, ccap)
+                if host_pending is not None:
+                    return self._finish_batch(host_pending)
                 continue
             if n_anchors_i > acap:
                 logger.info(
@@ -1517,7 +1587,9 @@ class MinimizerAligner:
                 self._ccap_boost *= 2
             else:
                 break
-            outs = self._dispatch_fused(data_args, cap, acap, ccap)
+            host_pending, outs = _redispatch(cap, acap, ccap)
+            if host_pending is not None:
+                return self._finish_batch(host_pending)
         if n_chains_i == 0:
             return []
         return _chains_from_rows(np.asarray(chains[:n_chains_i]), k)

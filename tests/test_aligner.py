@@ -506,3 +506,52 @@ def test_split_matches_monolith_reduce():
     np.testing.assert_array_equal(
         np.asarray(chains_s[:n_s]), np.asarray(chains_m[:n_m])
     )
+
+
+def test_compile_service_failure_falls_back_to_host_chains(monkeypatch):
+    """A remote-compile-service failure (round 4: the tunnel's compile
+    helper OOM-SIGKILLs the largest pad bucket's chain-reduce) must not
+    crash map_batch: the affected bucket falls back to the byte-identical
+    host-chain path, sticky per shape, and keeps producing the same
+    records."""
+    from hymet_tpu.models import aligner as A
+
+    rng = np.random.default_rng(408)
+    genomes, index = _build_panel_index(rng)
+    gmap = dict(genomes)
+    names = ["a", "b"]
+    seqs = [gmap["r0"], _mutate(rng, gmap["r1"], 0.03)]
+
+    ref = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
+    want = ref.map_batch(names, seqs)
+    assert want
+
+    aln = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
+    real = A.MinimizerAligner._dispatch_fused
+    calls = {"n": 0}
+
+    def boom(self, *a, **kw):
+        calls["n"] += 1
+        raise RuntimeError(
+            "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500: "
+            "tpu_compile_helper subprocess exit signal SIGKILL (9)"
+        )
+
+    monkeypatch.setattr(A.MinimizerAligner, "_dispatch_fused", boom)
+    got = aln.map_batch(names, seqs)
+    assert got == want
+    assert aln._dev_broken, "failure was not recorded"
+    # sticky: the second map over the same shapes never re-tries the
+    # broken device program
+    n_after_first = calls["n"]
+    assert aln.map_batch(names, seqs) == want
+    assert calls["n"] == n_after_first
+    # a NON-service error (our bug) must re-raise, not silently fall back
+    def trace_bug(self, *a, **kw):
+        raise TypeError("bad static arg")
+
+    aln2 = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
+    monkeypatch.setattr(A.MinimizerAligner, "_dispatch_fused", trace_bug)
+    with pytest.raises(TypeError):
+        aln2.map_batch(names, seqs)
+    monkeypatch.setattr(A.MinimizerAligner, "_dispatch_fused", real)
