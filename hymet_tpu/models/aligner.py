@@ -1091,6 +1091,46 @@ def _extract_chains_fused_packed(
     return _reduce_sorted_outs(outs, fb_base2, k, min_cnt, min_mlen, ccap)
 
 
+_DEV_BROKEN_PATH = os.path.expanduser("~/.cache/hymet_tpu/dev_broken.json")
+_DEV_BROKEN_TTL_S = 4 * 3600.0
+
+
+def _load_dev_broken() -> set:
+    """Cross-process memory of (rows, pad) buckets whose device-chain
+    compile was killed by the remote compile service (see
+    :func:`_is_compile_service_error`): a fresh bench process (e.g. the
+    driver's 20-minute warm window) must not re-grind a compile the
+    service killed minutes ago. Entries expire after 4 h so a healed
+    service gets retried; HYMET_RESET_DEV_BROKEN=1 ignores the file."""
+    if os.environ.get("HYMET_RESET_DEV_BROKEN") == "1":
+        return set()
+    try:
+        import json
+
+        with open(_DEV_BROKEN_PATH, encoding="utf-8") as f:
+            entries = json.load(f)
+        now = time.time()
+        return {
+            (int(b), int(l))
+            for b, l, ts in entries
+            if now - float(ts) < _DEV_BROKEN_TTL_S
+        }
+    except (OSError, ValueError):
+        return set()
+
+
+def _save_dev_broken(broken: set) -> None:
+    try:
+        import json
+
+        os.makedirs(os.path.dirname(_DEV_BROKEN_PATH), exist_ok=True)
+        now = time.time()
+        with open(_DEV_BROKEN_PATH, "w", encoding="utf-8") as f:
+            json.dump([[b, l, now] for b, l in sorted(broken)], f)
+    except OSError:
+        pass  # persistence is best-effort; the in-process set still holds
+
+
 def _is_compile_service_error(e: Exception) -> bool:
     """True for failures of the REMOTE compile service (not of this
     program): the dev tunnel's compile helper can be OOM-SIGKILLed on
@@ -1178,8 +1218,10 @@ class MinimizerAligner:
         # surfacing as "HTTP 500 ... SIGKILL" JaxRuntimeError). Those
         # buckets stick to the byte-identical host-chain path
         # (test_device_chains_match_host_chains) for this aligner's
-        # lifetime; every other bucket stays on device chains.
-        self._dev_broken: set = set()
+        # lifetime; every other bucket stays on device chains. Seeded
+        # from the cross-process marker file (TTL'd) so fresh processes
+        # skip compiles the service killed minutes ago.
+        self._dev_broken: set = _load_dev_broken()
 
     # ------------------------------------------------------------------
 
@@ -1367,6 +1409,7 @@ class MinimizerAligner:
 
     def _mark_dev_broken(self, B: int, L: int, e: Exception) -> None:
         self._dev_broken.add((B, L))
+        _save_dev_broken(self._dev_broken)
         logger.warning(
             "[align] device-chain program failed to compile for bucket "
             "(%d, %d) — tunnel compile-service failure (%s); this bucket "

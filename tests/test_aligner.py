@@ -526,6 +526,10 @@ def test_compile_service_failure_falls_back_to_host_chains(monkeypatch):
     want = ref.map_batch(names, seqs)
     assert want
 
+    import tempfile, os as _os
+
+    marker = _os.path.join(tempfile.mkdtemp(), "dev_broken.json")
+    monkeypatch.setattr(A, "_DEV_BROKEN_PATH", marker)
     aln = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
     real = A.MinimizerAligner._dispatch_fused
     calls = {"n": 0}
@@ -550,8 +554,19 @@ def test_compile_service_failure_falls_back_to_host_chains(monkeypatch):
     def trace_bug(self, *a, **kw):
         raise TypeError("bad static arg")
 
+    # the reset escape hatch ignores the marker file, so this fresh
+    # aligner actually dispatches — and a non-service error re-raises
+    monkeypatch.setenv("HYMET_RESET_DEV_BROKEN", "1")
     aln2 = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
+    assert aln2._dev_broken == set()
     monkeypatch.setattr(A.MinimizerAligner, "_dispatch_fused", trace_bug)
     with pytest.raises(TypeError):
         aln2.map_batch(names, seqs)
     monkeypatch.setattr(A.MinimizerAligner, "_dispatch_fused", real)
+    monkeypatch.delenv("HYMET_RESET_DEV_BROKEN")
+    # the broken buckets persisted: a FRESH aligner (fresh process stand-
+    # in) seeds from the marker file and goes straight to host chains
+    assert _os.path.exists(marker)
+    aln3 = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
+    assert aln3._dev_broken == aln._dev_broken
+    assert aln3.map_batch(names, seqs) == want
