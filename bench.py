@@ -830,7 +830,7 @@ def bench_align_stages() -> dict:
         bkt_steps=aligner._bkt_steps,
         bsearch=os.environ.get("HYMET_SLOT_BSEARCH", "1") == "1",
         min_bsearch=os.environ.get("HYMET_MIN_BSEARCH", "0") == "1",
-        slot_fill=os.environ.get("HYMET_SLOT_FILL", "0") == "1",
+        slot_fill=os.environ.get("HYMET_SLOT_FILL", "1") == "1",
     )
     if os.environ.get("HYMET_FLAT_BAND", "0") == "1":
         kw["fb_base2"] = aligner._fb_tables(pad)

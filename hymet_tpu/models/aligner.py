@@ -1499,10 +1499,12 @@ class MinimizerAligner:
             # same destination-map inversion (chain rows byte-identical;
             # default off until its compile + timing land on the tunnel)
             min_bsearch=os.environ.get("HYMET_MIN_BSEARCH", "0") == "1",
-            # =1 replaces the anchor collect's [acap]-row qmeta gather
-            # with the scatter+cumsum value fill (byte-identical; default
-            # off until its A/B timing lands on the tunnel — queue r4b)
-            slot_fill=os.environ.get("HYMET_SLOT_FILL", "0") == "1",
+            # scatter+cumsum value fill for the anchor collect instead
+            # of the [acap]-row qmeta gather (byte-identical; DEFAULT
+            # since round 4 late: A/B'd on chip at 11.0 -> 11.9 Mbp/s
+            # align-mode and 333 -> 310 ms/batch in stage attribution,
+            # r4b/r4c queues; =0 restores the row-gather collect)
+            slot_fill=os.environ.get("HYMET_SLOT_FILL", "1") == "1",
         )
         if os.environ.get("HYMET_FLAT_BAND", "0") == "1":
             # single-key anchor sort (byte-identical chains; default off

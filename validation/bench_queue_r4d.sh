@@ -40,6 +40,6 @@ run_stage() {
   [ -s "$OUT/$name.json" ] || rm -f "$OUT/$name.json"
   return $rc
 }
-run_stage align_base 5400 BENCH_MODE=align
+run_stage align_base 5400 BENCH_MODE=align HYMET_SLOT_FILL=0
 run_stage align_fill 5400 BENCH_MODE=align HYMET_SLOT_FILL=1
 echo "=== queue r4d complete $(date -u +%F' '%T)" | tee -a "$OUT/queue.log"
