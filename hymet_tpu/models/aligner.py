@@ -635,7 +635,8 @@ def _collect_anchors_slots(
 
 
 def _chain_reduce_sorted(
-    s_k1, s_k2, s_p, s_r, k: int, min_cnt: int, min_mlen: int, ccap: int
+    s_k1, s_k2, s_p, s_r, k: int, min_cnt: int, min_mlen: int, ccap: int,
+    block: int = 0,
 ):
     """On-device chain segmentation over 2-key-sorted anchors (replaces
     the host reduceat + band-merge while-loop — ROADMAP items 3-4).
@@ -661,7 +662,7 @@ def _chain_reduce_sorted(
         & (band[1:] - band[:-1] <= 1)
     )
     cs, cnt, minq, maxq, minr, maxr, n_chains = _chain_core(
-        same, valid, s_p, s_r, k, min_cnt, min_mlen, ccap
+        same, valid, s_p, s_r, k, min_cnt, min_mlen, ccap, block
     )
     g_k1 = s_k1[cs]
     out = jnp.stack(
@@ -680,35 +681,115 @@ def _chain_reduce_sorted(
     return out, n_chains
 
 
-def _chain_core(same, valid, s_p, s_r, k: int, min_cnt: int, min_mlen: int, ccap: int):
+def _seg_comb(x, y):
+    """Segmented min/max combine: a True start flag on the right operand
+    resets the running extents (associative; exact integer ops)."""
+    fx, mnqx, mxqx, mnrx, mxrx = x
+    fy, mnqy, mxqy, mnry, mxry = y
+    return (
+        fx | fy,
+        jnp.where(fy, mnqy, jnp.minimum(mnqx, mnqy)),
+        jnp.where(fy, mxqy, jnp.maximum(mxqx, mxqy)),
+        jnp.where(fy, mnry, jnp.minimum(mnrx, mnry)),
+        jnp.where(fy, mxry, jnp.maximum(mxrx, mxry)),
+    )
+
+
+def _chain_block() -> int:
+    """Block size for the lax.scan-chunked segmented scans (0 disables
+    chunking). associative_scan/cummax unroll into log2(A) full-width
+    layers, so the chain-reduce program's COMPILE size scaled with acap —
+    at the (64, 262144) pad bucket's ~4M-anchor pow2 reduce the dev
+    tunnel's compile helper was OOM-SIGKILLed outright (round 4,
+    dev_broken.json). Chunking traces one block body once; compile size
+    stops scaling with acap while the per-step scan overhead stays small
+    (~32 steps at the largest bucket)."""
+    return int(os.environ.get("HYMET_CHAIN_BLOCK", str(1 << 17)))
+
+
+def _seg_scans_blocked(start, s_p, s_r, iota, block: int):
+    """The two full-width scans of :func:`_chain_core` (segmented min/max
+    extents + cummax of start indices), chunked into a lax.scan over
+    fixed ``block``-sized slabs. The carry holds the open segment's
+    running extents and the last chain-start index at each block
+    boundary; seeding block b's first element with ``_seg_comb(carry,
+    x0)`` makes every prefix aggregate identical to the unblocked scan
+    (associativity over exact integer ops => byte-identical results,
+    pinned by test_chain_core_blocked_matches_unblocked)."""
+    A = start.shape[0]
+    pad = (-A) % block
+    if pad:
+        # padded tail: start=True isolates it; extents are never read
+        # back (outputs are sliced to [:A])
+        start = jnp.concatenate([start, jnp.ones((pad,), bool)])
+        s_p = jnp.concatenate([s_p, jnp.zeros((pad,), s_p.dtype)])
+        s_r = jnp.concatenate([s_r, jnp.zeros((pad,), s_r.dtype)])
+        iota = jnp.concatenate(
+            [iota, jnp.zeros((pad,), iota.dtype)]
+        )
+    nblk = (A + pad) // block
+
+    def body(carry, xs):
+        c_f, c_mnq, c_mxq, c_mnr, c_mxr, c_sidx = carry
+        b_start, b_p, b_r, b_iota = xs
+        f0, mnq0, mxq0, mnr0, mxr0 = _seg_comb(
+            (c_f, c_mnq, c_mxq, c_mnr, c_mxr),
+            (b_start[0], b_p[0], b_p[0], b_r[0], b_r[0]),
+        )
+        f, minq, maxq, minr, maxr = jax.lax.associative_scan(
+            _seg_comb,
+            (
+                b_start.at[0].set(f0),
+                b_p.at[0].set(mnq0),
+                b_p.at[0].set(mxq0),
+                b_r.at[0].set(mnr0),
+                b_r.at[0].set(mxr0),
+            ),
+        )
+        sidx = jnp.maximum(
+            jax.lax.cummax(jnp.where(b_start, b_iota, 0)), c_sidx
+        )
+        carry2 = (f[-1], minq[-1], maxq[-1], minr[-1], maxr[-1], sidx[-1])
+        return carry2, (minq, maxq, minr, maxr, sidx)
+
+    zp = jnp.zeros((), s_p.dtype)
+    zr = jnp.zeros((), s_r.dtype)
+    init = (jnp.asarray(True), zp, zp, zr, zr, jnp.zeros((), iota.dtype))
+    xs = tuple(
+        a.reshape(nblk, block) for a in (start, s_p, s_r, iota)
+    )
+    _, outs = jax.lax.scan(body, init, xs)
+    return tuple(o.reshape(-1)[:A] for o in outs)
+
+
+def _chain_core(
+    same, valid, s_p, s_r, k: int, min_cnt: int, min_mlen: int, ccap: int,
+    block: int = 0,
+):
     """Shared chain-segmentation core over sorted anchors: segmented
     min/max extents via one associative scan, counts via the
     cummax-of-start-indices trick, good-chain filtering, and the
     (flag, iota) argsort compaction (stable => ascending anchor order,
     the host path's chain emission order). ``same[i]`` says anchor i+1
     continues anchor i's chain — the only piece that differs between the
-    2-key and flat-band key layouts. Returns
+    2-key and flat-band key layouts. ``block`` > 0 chunks the two
+    full-width scans into a lax.scan (see :func:`_chain_block`);
+    byte-identical either way. Returns
     (cs, cnt, minq, maxq, minr, maxr, n_chains); callers gather their
     output columns at the `cs` positions only."""
     A = valid.shape[0]
     start = jnp.concatenate([jnp.ones((1,), bool), ~same])
     iota = jnp.arange(A, dtype=jnp.int32)
 
-    def comb(x, y):
-        fx, mnqx, mxqx, mnrx, mxrx = x
-        fy, mnqy, mxqy, mnry, mxry = y
-        return (
-            fx | fy,
-            jnp.where(fy, mnqy, jnp.minimum(mnqx, mnqy)),
-            jnp.where(fy, mxqy, jnp.maximum(mxqx, mxqy)),
-            jnp.where(fy, mnry, jnp.minimum(mnrx, mnry)),
-            jnp.where(fy, mxry, jnp.maximum(mxrx, mxry)),
+    if block and A > block:
+        minq, maxq, minr, maxr, start_idx = _seg_scans_blocked(
+            start, s_p, s_r, iota, block
         )
-
-    _, minq, maxq, minr, maxr = jax.lax.associative_scan(
-        comb, (start, s_p, s_p, s_r, s_r)
-    )
-    start_idx = jax.lax.cummax(jnp.where(start, iota, 0))
+    else:
+        _, minq, maxq, minr, maxr = jax.lax.associative_scan(
+            _seg_comb, (start, s_p, s_p, s_r, s_r)
+        )
+        start_idx = jax.lax.cummax(jnp.where(start, iota, 0))
     cnt = iota - start_idx + 1
     is_end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
     span_q = (maxq - minq).astype(jnp.int32) + k
@@ -722,7 +803,8 @@ def _chain_core(same, valid, s_p, s_r, k: int, min_cnt: int, min_mlen: int, ccap
 
 
 def _chain_reduce_sorted_flat(
-    s_key, s_p, s_r, fb_dec, k: int, min_cnt: int, min_mlen: int, ccap: int
+    s_key, s_p, s_r, fb_dec, k: int, min_cnt: int, min_mlen: int, ccap: int,
+    block: int = 0,
 ):
     """:func:`_chain_reduce_sorted` for the flat-band single-key layout
     (``HYMET_FLAT_BAND=1``): key = qid << 26 | flat, where ``flat`` is a
@@ -737,7 +819,7 @@ def _chain_reduce_sorted_flat(
     valid = s_key != big
     same = (s_key[1:] - s_key[:-1]) <= 1
     cs, cnt, minq, maxq, minr, maxr, n_chains = _chain_core(
-        same, valid, s_p, s_r, k, min_cnt, min_mlen, ccap
+        same, valid, s_p, s_r, k, min_cnt, min_mlen, ccap, block
     )
     g_key = s_key[cs]
     flat = (g_key & jnp.uint32((1 << _SEQ_BITS) - 1)).astype(jnp.int32)
@@ -882,15 +964,16 @@ def _extract_chains_impl(
     )
     if stage:
         return outs
+    block = _chain_block()
     if fb_base2 is not None:
         s_key, s_p, s_r, n_anchors, n_kept = outs
         chains, n_chains = _chain_reduce_sorted_flat(
-            s_key, s_p, s_r, fb_base2[1], k, min_cnt, min_mlen, ccap
+            s_key, s_p, s_r, fb_base2[1], k, min_cnt, min_mlen, ccap, block
         )
     else:
         s_k1, s_k2, s_p, s_r, n_anchors, n_kept = outs
         chains, n_chains = _chain_reduce_sorted(
-            s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap
+            s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap, block
         )
     return chains, n_chains, n_kept, n_anchors
 
@@ -916,18 +999,22 @@ _collect_sorted_fused = functools.partial(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "min_cnt", "min_mlen", "ccap")
+    jax.jit, static_argnames=("k", "min_cnt", "min_mlen", "ccap", "block")
 )
-def _chain_reduce_fused(s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap):
-    return _chain_reduce_sorted(s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap)
+def _chain_reduce_fused(s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap, block=0):
+    return _chain_reduce_sorted(
+        s_k1, s_k2, s_p, s_r, k, min_cnt, min_mlen, ccap, block
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "min_cnt", "min_mlen", "ccap")
+    jax.jit, static_argnames=("k", "min_cnt", "min_mlen", "ccap", "block")
 )
-def _chain_reduce_fused_flat(s_key, s_p, s_r, fb_dec, k, min_cnt, min_mlen, ccap):
+def _chain_reduce_fused_flat(
+    s_key, s_p, s_r, fb_dec, k, min_cnt, min_mlen, ccap, block=0
+):
     return _chain_reduce_sorted_flat(
-        s_key, s_p, s_r, fb_dec, k, min_cnt, min_mlen, ccap
+        s_key, s_p, s_r, fb_dec, k, min_cnt, min_mlen, ccap, block
     )
 
 
@@ -952,14 +1039,16 @@ def _reduce_sorted_outs(outs, fb_base2, k, min_cnt, min_mlen, ccap):
             jnp.concatenate([c, jnp.full((pad,), f, c.dtype)])
             for c, f in zip(cols, fills)
         ]
+    block = _chain_block()
     if fb_base2 is not None:
         chains, n_chains = _chain_reduce_fused_flat(
             *cols, fb_base2[1], k=k, min_cnt=min_cnt, min_mlen=min_mlen,
-            ccap=ccap_b,
+            ccap=ccap_b, block=block,
         )
     else:
         chains, n_chains = _chain_reduce_fused(
-            *cols, k=k, min_cnt=min_cnt, min_mlen=min_mlen, ccap=ccap_b
+            *cols, k=k, min_cnt=min_cnt, min_mlen=min_mlen, ccap=ccap_b,
+            block=block,
         )
     return chains, n_chains, n_kept, n_anchors
 

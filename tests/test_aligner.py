@@ -302,6 +302,75 @@ def test_device_chains_match_host_chains(monkeypatch):
     monkeypatch.setenv("HYMET_SLOT_FILL", "1")
     fill_recs = aln.map_batch(names, seqs)
     assert fill_recs == dev_recs
+    # ... and the lax.scan-chunked chain reduce (block small enough to
+    # split this panel's acap into many blocks; `block` is a static jit
+    # arg, so this genuinely retraces the scanned program)
+    monkeypatch.setenv("HYMET_CHAIN_BLOCK", "1024")
+    blk_recs = aln.map_batch(names, seqs)
+    assert blk_recs == dev_recs
+
+
+def test_chain_core_blocked_matches_unblocked():
+    """The lax.scan-chunked segmented scans (HYMET_CHAIN_BLOCK) must
+    reproduce the full-width associative_scan/cummax chain rows
+    bit-for-bit — including when the anchor count is NOT a multiple of
+    the block (internal sentinel padding) and across the carried
+    open-segment state at every block boundary."""
+    from hymet_tpu.models.aligner import (
+        _KEY_BIG,
+        _chain_reduce_sorted,
+        _chain_reduce_sorted_flat,
+    )
+
+    rng = np.random.default_rng(77)
+    for A, n_valid, block in ((4096, 3900, 512), (3000, 2641, 512), (2048, 2048, 1024)):
+        # sorted (k1, k2) anchor keys with long runs so chains span blocks
+        k1 = np.sort(rng.integers(0, 40, n_valid)).astype(np.uint32) << 26
+        k2 = rng.integers(0, 3, n_valid).astype(np.uint32) << 24
+        k2 |= np.minimum(
+            np.sort(rng.integers(0, 6, n_valid)).astype(np.uint32), 0xFFFFFF
+        )
+        order = np.lexsort((k2, k1))
+        k1, k2 = k1[order], k2[order]
+        pad = A - n_valid
+        k1 = np.concatenate([k1, np.full(pad, _KEY_BIG, np.uint32)])
+        k2 = np.concatenate([k2, np.full(pad, _KEY_BIG, np.uint32)])
+        s_p = rng.integers(0, 1 << 20, A).astype(np.uint32)
+        s_r = rng.integers(0, 1 << 20, A).astype(np.uint32)
+
+        ref_rows, ref_n = _chain_reduce_sorted(
+            jnp.asarray(k1), jnp.asarray(k2), jnp.asarray(s_p),
+            jnp.asarray(s_r), 19, 2, 30, 256, block=0,
+        )
+        blk_rows, blk_n = _chain_reduce_sorted(
+            jnp.asarray(k1), jnp.asarray(k2), jnp.asarray(s_p),
+            jnp.asarray(s_r), 19, 2, 30, 256, block=block,
+        )
+        n = int(ref_n)
+        assert int(blk_n) == n and n > 0, (A, block, n)
+        np.testing.assert_array_equal(
+            np.asarray(blk_rows[:n]), np.asarray(ref_rows[:n])
+        )
+
+        # flat-band single-key layout rides the same core
+        key = np.where(
+            k1 == _KEY_BIG, _KEY_BIG, k1 | (k2 & np.uint32(0x3FFFFFF))
+        ).astype(np.uint32)
+        key = np.sort(key)
+        fb_dec = jnp.asarray(np.array([0], np.int32))
+        ref_rows, ref_n = _chain_reduce_sorted_flat(
+            jnp.asarray(key), jnp.asarray(s_p), jnp.asarray(s_r), fb_dec,
+            19, 2, 30, 256, block=0,
+        )
+        blk_rows, blk_n = _chain_reduce_sorted_flat(
+            jnp.asarray(key), jnp.asarray(s_p), jnp.asarray(s_r), fb_dec,
+            19, 2, 30, 256, block=block,
+        )
+        n = int(ref_n)
+        assert int(blk_n) == n and n > 0, (A, block, n)
+        np.testing.assert_array_equal(
+            np.asarray(blk_rows[:n]), np.asarray(ref_rows[:n])
+        )
 
 
 def test_pipelined_dispatch_many_groups(monkeypatch):
