@@ -139,22 +139,38 @@ def weighted_lca_host(
 # batching helpers
 
 
+# Largest hit-list a query may carry into :func:`bucket_pad`. The aligner
+# emits at most ``max_secondary + 1`` records per query (aligner.py), so
+# pipeline construction asserts that cap against this ceiling — a config
+# raising max_secondary past it must fail loudly, not silently drop
+# weights (round-4 review, weak #6).
+DEFAULT_BUCKETS: Tuple[int, ...] = (8, 32, 128, 512, 2048)
+LCA_MAX_BUCKET: int = DEFAULT_BUCKETS[-1]
+
+
 def bucket_pad(
     entries_per_query: Sequence[Sequence[Tuple[int, float]]],
-    buckets: Sequence[int] = (8, 32, 128, 512, 2048),
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
 ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Group ragged per-query (row, weight) hit lists into padded buckets.
 
     Returns a list of (query_indices, hit_rows [q, H], hit_weights [q, H])
-    per non-empty bucket. Queries whose hit count exceeds the largest bucket
-    are truncated to it (weights beyond are dropped — callers should size
-    the largest bucket above the aligner's per-query hit cap).
+    per non-empty bucket. A query whose hit count exceeds the largest
+    bucket raises ``ValueError`` — truncation would silently drop LCA
+    weights; size the largest bucket above the aligner's per-query hit
+    cap instead (``AlignerConfig.max_secondary + 1``).
     """
     out = []
     maxb = buckets[-1]
     assignments: Dict[int, List[int]] = {b: [] for b in buckets}
     for qi, entries in enumerate(entries_per_query):
         n = len(entries)
+        if n > maxb:
+            raise ValueError(
+                f"query {qi} carries {n} LCA entries > largest bucket "
+                f"{maxb}; raise the bucket ceiling (weights must never be "
+                f"silently dropped)"
+            )
         b = next((b for b in buckets if n <= b), maxb)
         assignments[b].append(qi)
     for b, qidx in assignments.items():

@@ -365,17 +365,27 @@ class ClassificationRun:
                 index.save(idx_path)
             t_load = time.time() - t0
             t0 = time.time()
+            aln_cfg = AlignerConfig(batch_pad=cfg.align_batch_pad)
+            # cross-module contract (round-4 review, weak #6): the LCA
+            # bucketer drops nothing only while the aligner's per-query
+            # record cap fits its largest bucket — fail loudly at
+            # construction, not via silently wrong abundances later
+            from hymet_tpu.ops.lca import LCA_MAX_BUCKET
+
+            if aln_cfg.max_secondary + 1 > LCA_MAX_BUCKET:
+                raise ValueError(
+                    f"AlignerConfig.max_secondary={aln_cfg.max_secondary} "
+                    f"can emit {aln_cfg.max_secondary + 1} records/query > "
+                    f"the LCA bucket ceiling {LCA_MAX_BUCKET} "
+                    f"(ops/lca.py DEFAULT_BUCKETS)"
+                )
             mesh = self._mesh()
             if mesh is not None:
                 from hymet_tpu.parallel.align import ShardedMinimizerAligner
 
-                aligner = ShardedMinimizerAligner(
-                    mesh, index, AlignerConfig(batch_pad=cfg.align_batch_pad)
-                )
+                aligner = ShardedMinimizerAligner(mesh, index, aln_cfg)
             else:
-                aligner = MinimizerAligner(
-                    index, AlignerConfig(batch_pad=cfg.align_batch_pad)
-                )
+                aligner = MinimizerAligner(index, aln_cfg)
             t_stage = time.time() - t0
             t0 = time.time()
             if self._contigs is not None:

@@ -197,3 +197,21 @@ def test_zymo_paf_jax_vs_host(mini_taxdb):
         if l1 != "Unknown":
             n_classified += 1
     assert n_classified > 500
+
+
+def test_bucket_pad_overflow_fails_loudly():
+    """A query with more LCA entries than the largest bucket must raise,
+    not silently truncate its weights (round-4 review, weak #6); the
+    pipeline asserts max_secondary+1 against the same ceiling."""
+    import pytest
+
+    from hymet_tpu.models.aligner import AlignerConfig
+    from hymet_tpu.ops.lca import LCA_MAX_BUCKET, bucket_pad
+
+    ok = [[(0, 1.0)] * LCA_MAX_BUCKET]
+    assert bucket_pad(ok)  # at the ceiling: fine
+    too_many = [[(0, 1.0)] * (LCA_MAX_BUCKET + 1)]
+    with pytest.raises(ValueError, match="largest bucket"):
+        bucket_pad(too_many)
+    # the shipped aligner cap stays under the ceiling
+    assert AlignerConfig().max_secondary + 1 <= LCA_MAX_BUCKET
