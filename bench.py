@@ -415,8 +415,26 @@ def _prewarm_align(w, cache_root) -> None:
 
 
 def bench_warm_pipeline() -> dict:
-    """Child body for the warmup watchdog: compile every pipeline
-    program and populate the world/reference caches, then exit."""
+    """Child body for the warmup watchdog: probe compile-service health,
+    then compile every pipeline program and populate the world/reference
+    caches, then exit."""
+    if (
+        os.environ.get("BENCH_HEALTH_PROBE", "1") == "1"
+        and os.environ.get("HYMET_PLATFORM", "") != "cpu"
+        and os.environ.get("_BENCH_CPU_FALLBACK") != "1"
+    ):
+        # before jax init: the probe child must be the only TPU client.
+        # A `healthy` verdict auto-heals dev_broken markers recorded
+        # before it (aligner._load_dev_broken), so a bench landing in a
+        # recovered window retries device chains instead of waiting out
+        # the 4 h TTL.
+        from hymet_tpu.harness.healthprobe import run_probe
+
+        rec = run_probe()
+        log(
+            f"compile-health probe: {rec['verdict']} "
+            f"({rec['compile_s']:.0f}s)"
+        )
     _init_jax()
     w = _build_world()
     cache_root = os.path.join(w["world"], "cache")

@@ -1189,20 +1189,27 @@ def _load_dev_broken() -> set:
     compile was killed by the remote compile service (see
     :func:`_is_compile_service_error`): a fresh bench process (e.g. the
     driver's 20-minute warm window) must not re-grind a compile the
-    service killed minutes ago. Entries expire after 4 h so a healed
-    service gets retried; HYMET_RESET_DEV_BROKEN=1 ignores the file."""
+    service killed minutes ago. An entry heals two ways: a ``healthy``
+    compile-service probe verdict RECORDED AFTER the failure
+    (harness/healthprobe.py — the service recovered, so the bucket
+    deserves a fresh device-chain attempt), or the blind 4 h TTL as the
+    backstop; HYMET_RESET_DEV_BROKEN=1 ignores the file outright."""
     if os.environ.get("HYMET_RESET_DEV_BROKEN") == "1":
         return set()
     try:
         import json
 
+        from hymet_tpu.harness.healthprobe import last_healthy_ts
+
         with open(_DEV_BROKEN_PATH, encoding="utf-8") as f:
             entries = json.load(f)
         now = time.time()
+        healed_after = last_healthy_ts()
         return {
             (int(b), int(l))
             for b, l, ts in entries
             if now - float(ts) < _DEV_BROKEN_TTL_S
+            and float(ts) > healed_after
         }
     except (OSError, ValueError):
         return set()
