@@ -99,11 +99,25 @@ class AlignerConfig:
     # are kept so the LCA can still back off. 0 disables.
     sec_count_ratio: float = 0.9
     batch_pad: int = 1 << 16  # query padding quantum
+    # occurrence-budget seeding (minimap2's mid-occ analog, applied to
+    # its asm10 seeding from /root/reference/scripts/minimap2.sh:23):
+    # instead of the hard max_occ drop alone, pick the LARGEST per-batch
+    # occurrence threshold t <= max_occ whose total anchor count fits
+    # `occ_budget_factor * kept_minimizer_cap` anchors — high-occurrence
+    # (repeat) minimizers fan out into most anchors while carrying the
+    # least placement signal, so the anchor cap (and every downstream
+    # collect/sort/reduce op, which are all linear in it) shrinks by the
+    # fan-out factor. 0 disables (exact legacy behavior). Overridden by
+    # HYMET_OCC_BUDGET (a float factor) for A/B runs.
+    occ_budget_factor: float = 0.0
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "w", "max_occ", "band_bits", "cap", "bkt_bits", "bkt_steps"),
+    static_argnames=(
+        "k", "w", "max_occ", "band_bits", "cap", "bkt_bits", "bkt_steps",
+        "occ_budget",
+    ),
 )
 def _extract_collect_sort_fused(
     idx_hl,
@@ -118,6 +132,7 @@ def _extract_collect_sort_fused(
     bkt2=None,
     bkt_bits: int = 0,
     bkt_steps: int = 0,
+    occ_budget: int = 0,
 ):
     """Fully-fused device path: minimizer extraction -> on-device
     compaction (sort kept-first, slice to `cap`) -> anchor search ->
@@ -165,6 +180,7 @@ def _extract_collect_sort_fused(
         bkt2,
         bkt_bits,
         bkt_steps,
+        occ_budget,
     )
     return out + (n_kept,)
 
@@ -382,8 +398,29 @@ def _search_occ(idx_hl, idx_roff2, q_hi, q_lo, bkt2=None, bkt_bits=0, bkt_steps=
     return left, occ
 
 
+def _occ_budget_keep(keep, occ, max_occ: int, occ_budget: int):
+    """Occurrence-budget seeding (see ``AlignerConfig.occ_budget_factor``):
+    largest threshold t <= max_occ with sum(occ | occ <= t) <= occ_budget,
+    floored at 1 (a pathological all-repeat batch then overflows acap and
+    rides the existing sticky retry). The histogram is a [N, max_occ+1]
+    one-hot compare + column sum — no scatter, one VPU pass."""
+    occk = jnp.where(keep, occ, 0).astype(jnp.int32)
+    bins = jnp.arange(max_occ + 1, dtype=jnp.int32)
+    counts = jnp.sum(
+        (occk[:, None] == bins[None, :]).astype(jnp.int32), axis=0
+    )
+    anchors_cum = jnp.cumsum(counts * bins)
+    t = jnp.maximum(
+        jnp.max(jnp.where(anchors_cum <= occ_budget, bins, 0)), 1
+    )
+    return keep & (occ.astype(jnp.int32) <= t)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("max_occ", "band_bits", "bkt_bits", "bkt_steps")
+    jax.jit,
+    static_argnames=(
+        "max_occ", "band_bits", "bkt_bits", "bkt_steps", "occ_budget"
+    ),
 )
 def _collect_and_sort_anchors(
     idx_hl,
@@ -400,6 +437,7 @@ def _collect_and_sort_anchors(
     bkt2=None,
     bkt_bits: int = 0,
     bkt_steps: int = 0,
+    occ_budget: int = 0,
 ):
     """Anchors for a flat, pre-compacted minimizer list, sorted by
     (query, ref seq, strand|band, qpos). Returns sorted columns + validity."""
@@ -407,6 +445,8 @@ def _collect_and_sort_anchors(
     left, occ = _search_occ(idx_hl, idx_roff2, q_hi, q_lo, bkt2, bkt_bits, bkt_steps)
 
     keep = q_valid & (occ > 0) & (occ <= max_occ)
+    if occ_budget:
+        keep = _occ_budget_keep(keep, occ, max_occ, occ_budget)
 
     N = q_hi.shape[0]
     # expand to [N, max_occ]
@@ -457,6 +497,7 @@ def _collect_anchors_slots(
     stage: int = 0,
     fb_base2=None,
     slot_fill: bool = False,
+    occ_budget: int = 0,
 ):
     """Anchor collection via SLOT compaction: the [N, max_occ] occurrence
     grid is ~90% padding (typical occurrence is 1-3), and both gathering
@@ -492,6 +533,8 @@ def _collect_anchors_slots(
     if stage == 3:  # bench ablation: index search only (see bench.py)
         return _cksum(left) + _cksum(occ)
     keep = q_valid & (occ > 0) & (occ <= max_occ)
+    if occ_budget:
+        keep = _occ_budget_keep(keep, occ, max_occ, occ_budget)
     occk = jnp.where(keep, occ, 0)
     N = q_hi.shape[0]
     aiota = jax.lax.broadcasted_iota(jnp.int32, (acap, 1), 0).squeeze(-1)
@@ -864,6 +907,7 @@ def _collect_sorted_impl(
     min_bsearch: bool = False,
     fb_base2=None,
     slot_fill: bool = False,
+    occ_budget: int = 0,
 ):
     """Front half of the aligner device path: minimizer extraction ->
     argsort+gather compaction -> bucketed anchor search -> slot
@@ -922,6 +966,7 @@ def _collect_sorted_impl(
         stage,
         fb_base2,
         slot_fill,
+        occ_budget,
     )
     if stage in (3, 4, 5):  # checksum tuple from the truncated collector
         return collected
@@ -950,6 +995,7 @@ def _extract_chains_impl(
     min_bsearch: bool = False,
     fb_base2=None,
     slot_fill: bool = False,
+    occ_budget: int = 0,
 ):
     """Whole aligner device path as one traceable composition (used by
     the sharded aligner, whose shard_map compiles everything as one
@@ -960,7 +1006,7 @@ def _extract_chains_impl(
     outs = _collect_sorted_impl(
         idx_hl, idx_roff2, idx_ps, batch, k, w, max_occ, band_bits, cap,
         acap, bkt2, bkt_bits, bkt_steps, bsearch, stage, min_bsearch,
-        fb_base2, slot_fill,
+        fb_base2, slot_fill, occ_budget,
     )
     if stage:
         return outs
@@ -991,6 +1037,7 @@ _COLLECT_STATICS = (
     "stage",
     "min_bsearch",
     "slot_fill",
+    "occ_budget",
 )
 
 _collect_sorted_fused = functools.partial(
@@ -1075,6 +1122,7 @@ def _extract_chains_fused(
     min_bsearch: bool = False,
     fb_base2=None,
     slot_fill: bool = False,
+    occ_budget: int = 0,
 ):
     """Single-device fused align path, SPLIT into two programs (see
     :func:`_collect_sorted_impl` for why). Same signature/returns as the
@@ -1083,6 +1131,7 @@ def _extract_chains_fused(
         idx_hl, idx_roff2, idx_ps, batch, k, w, max_occ, band_bits, cap,
         acap, bkt2, bkt_bits, bkt_steps, bsearch=bsearch, stage=stage,
         min_bsearch=min_bsearch, fb_base2=fb_base2, slot_fill=slot_fill,
+        occ_budget=occ_budget,
     )
     if stage:
         return outs
@@ -1111,6 +1160,7 @@ def _collect_sorted_fused_packed(
     min_bsearch: bool = False,
     fb_base2=None,
     slot_fill: bool = False,
+    occ_budget: int = 0,
 ):
     """:func:`_collect_sorted_impl` on a 2-bit packed batch — 0.375
     bytes/base across the host->device link instead of 1 (the link is
@@ -1139,6 +1189,7 @@ def _collect_sorted_fused_packed(
         min_bsearch,
         fb_base2,
         slot_fill,
+        occ_budget,
     )
 
 
@@ -1166,6 +1217,7 @@ def _extract_chains_fused_packed(
     min_bsearch: bool = False,
     fb_base2=None,
     slot_fill: bool = False,
+    occ_budget: int = 0,
 ):
     """Packed-input twin of :func:`_extract_chains_fused` (two-program
     split; same signature/returns as the old monolithic jit)."""
@@ -1173,7 +1225,7 @@ def _extract_chains_fused_packed(
         idx_hl, idx_roff2, idx_ps, packed, mask, L, k, w, max_occ,
         band_bits, cap, acap, bkt2, bkt_bits, bkt_steps, bsearch=bsearch,
         stage=stage, min_bsearch=min_bsearch, fb_base2=fb_base2,
-        slot_fill=slot_fill,
+        slot_fill=slot_fill, occ_budget=occ_budget,
     )
     if stage:
         return outs
@@ -1489,6 +1541,7 @@ class MinimizerAligner:
             self._bkt2,
             self._bkt_bits,
             self._bkt_steps,
+            occ_budget=self._occ_budget(cap),
         )
         return ("host", cap, batch_j, outs)
 
@@ -1527,15 +1580,32 @@ class MinimizerAligner:
         cap = min(cap, B * NW)
         return NW, cap
 
+    def _occ_budget(self, cap: int) -> int:
+        """Anchor budget for occurrence-budget seeding (0 = off): a
+        4096-quantum multiple of the minimizer cap, so the derived static
+        shapes stay compile-cache stable. HYMET_OCC_BUDGET (float factor)
+        overrides ``AlignerConfig.occ_budget_factor`` for A/B runs."""
+        env = os.environ.get("HYMET_OCC_BUDGET")
+        factor = float(env) if env else self.cfg.occ_budget_factor
+        if factor <= 0:
+            return 0
+        return _round_4k(factor * cap)
+
     def _device_caps(self, B: int, NW: int, cap: int):
         """Anchor/chain caps for the fused device path. Anchor cap from
         the index's occurrence stats: expected anchors = windows x
         minimizer density (~2/(w+1) ~ 0.11) x E[occ], with 1.5x headroom,
         pow2-rounded for compile-cache stability, never above the 4*cap
-        grid bound; sticky boosts absorb misestimates (one retry
-        recompile, then never again for this aligner)."""
+        grid bound; an active occurrence budget caps it directly (the
+        seeding threshold guarantees n_anchors <= budget outside the
+        all-repeat pathology, which the sticky retry absorbs); sticky
+        boosts absorb misestimates (one retry recompile, then never
+        again for this aligner)."""
         exp_anchors = B * NW * (2.0 / (self.index.w + 1)) * self._exp_occ
         acap = min(_round_4k(1.5 * exp_anchors), 4 * cap)
+        budget = self._occ_budget(cap)
+        if budget:
+            acap = min(acap, budget)
         acap *= self._acap_boost
         ccap = max(1024, min(4 * cap, 1 << 15)) * self._ccap_boost
         return acap, ccap
@@ -1601,6 +1671,8 @@ class MinimizerAligner:
             # align-mode and 333 -> 310 ms/batch in stage attribution,
             # r4b/r4c queues; =0 restores the row-gather collect)
             slot_fill=os.environ.get("HYMET_SLOT_FILL", "1") == "1",
+            # occurrence-budget seeding (0 = off; see AlignerConfig)
+            occ_budget=self._occ_budget(cap),
         )
         if os.environ.get("HYMET_FLAT_BAND", "0") == "1":
             # single-key anchor sort (byte-identical chains; default off
@@ -1664,6 +1736,7 @@ class MinimizerAligner:
                     self._bkt2,
                     self._bkt_bits,
                     self._bkt_steps,
+                    occ_budget=self._occ_budget(cap),
                 )
             if n == 0:
                 return []

@@ -310,6 +310,65 @@ def test_device_chains_match_host_chains(monkeypatch):
     assert blk_recs == dev_recs
 
 
+def test_occ_budget_keep_threshold_semantics():
+    """The adaptive occurrence threshold keeps the LARGEST t whose total
+    anchor count fits the budget, floored at t=1 (numpy reference)."""
+    from hymet_tpu.models.aligner import _occ_budget_keep
+
+    rng = np.random.default_rng(55)
+    occ = rng.integers(0, 20, 4000).astype(np.int32)
+    max_occ = 16
+    keep = (occ > 0) & (occ <= max_occ)
+    for budget in (50, 500, 2000, 10_000, 10_000_000):
+        got = np.asarray(
+            _occ_budget_keep(jnp.asarray(keep), jnp.asarray(occ), max_occ, budget)
+        )
+        # numpy reference: anchors at threshold t = sum of kept occ <= t
+        best_t = 1
+        for t in range(1, max_occ + 1):
+            if int(occ[keep & (occ <= t)].sum()) <= budget:
+                best_t = t
+        want = keep & (occ <= best_t)
+        np.testing.assert_array_equal(got, want), budget
+        assert got.sum() <= keep.sum()
+
+
+def test_occ_budget_paths_agree(monkeypatch):
+    """With the occurrence budget active, the device-chain and host-chain
+    paths must stay byte-identical (same threshold from the same kept
+    minimizer stream), a generous budget must reproduce the unbudgeted
+    records exactly, and a tight budget must still map the panel's
+    queries to their true sources."""
+    rng = np.random.default_rng(405)
+    genomes, index = _build_panel_index(rng)
+    gmap = dict(genomes)
+    names = ["exact", "mut", "rc"]
+    seqs = [
+        gmap["r0"],
+        _mutate(rng, gmap["r1"], 0.05),
+        _revcomp(gmap["r2"][:5000]),
+    ]
+    aln = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
+    monkeypatch.delenv("HYMET_OCC_BUDGET", raising=False)
+    base_recs = aln.map_batch(names, seqs)
+    assert base_recs
+
+    # a generous budget never trips the threshold below max_occ
+    monkeypatch.setenv("HYMET_OCC_BUDGET", "64.0")
+    assert aln.map_batch(names, seqs) == base_recs
+
+    # a tight budget: host- and device-chain paths agree byte-for-byte,
+    # and the primaries still land on the true sources
+    monkeypatch.setenv("HYMET_OCC_BUDGET", "1.5")
+    dev_recs = aln.map_batch(names, seqs)
+    monkeypatch.setenv("HYMET_HOST_CHAINS", "1")
+    host_recs = aln.map_batch(names, seqs)
+    monkeypatch.delenv("HYMET_HOST_CHAINS", raising=False)
+    assert dev_recs == host_recs
+    prim = {r.qname: r.tname for r in dev_recs if r.tags["tp"] == "A:P"}
+    assert prim == {"exact": "r0", "mut": "r1", "rc": "r2"}, prim
+
+
 def test_chain_core_blocked_matches_unblocked():
     """The lax.scan-chunked segmented scans (HYMET_CHAIN_BLOCK) must
     reproduce the full-width associative_scan/cummax chain rows
