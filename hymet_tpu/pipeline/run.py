@@ -49,6 +49,53 @@ from hymet_tpu.utils.config import RunConfig
 
 logger = logging.getLogger("hymet_tpu.run")
 
+# HBM-resident aligner cache (see _stage_align): (idx_path, mtime, size,
+# cfg fingerprint) -> MinimizerAligner whose search tables already live
+# on device. Small LRU — candidate indices are a few hundred MB of HBM
+# each; two slots cover alternating samples without churn. Disable with
+# HYMET_RESIDENT_INDEX=0.
+_RESIDENT_ALIGNERS: dict = {}
+_RESIDENT_MAX = 2
+
+
+def _resident_key(idx_path: str, aln_cfg: AlignerConfig, run_cfg=None):
+    try:
+        st = os.stat(idx_path)
+    except OSError:
+        return None
+    kw = (run_cfg.align_k, run_cfg.align_w) if run_cfg is not None else ()
+    return (os.path.abspath(idx_path), st.st_mtime_ns, st.st_size,
+            repr(aln_cfg), kw)
+
+
+def _resident_aligner_get(idx_path, aln_cfg, run_cfg):
+    if os.environ.get("HYMET_RESIDENT_INDEX", "1") != "1":
+        return None
+    if run_cfg.force_download:
+        return None
+    key = _resident_key(idx_path, aln_cfg, run_cfg)
+    if key is None:
+        return None
+    aligner = _RESIDENT_ALIGNERS.get(key)
+    if aligner is not None:  # LRU refresh
+        _RESIDENT_ALIGNERS.pop(key)
+        _RESIDENT_ALIGNERS[key] = aligner
+    return aligner
+
+
+def _resident_aligner_put(idx_path, aln_cfg, aligner) -> None:
+    if os.environ.get("HYMET_RESIDENT_INDEX", "1") != "1":
+        return
+    key = _resident_key(idx_path, aln_cfg)
+    if key is None:
+        return
+    # the stored key must match what a later get() computes: thread the
+    # index's own k/w (they equal run_cfg's by construction here)
+    key = key[:4] + ((aligner.index.k, aligner.index.w),)
+    _RESIDENT_ALIGNERS[key] = aligner
+    while len(_RESIDENT_ALIGNERS) > _RESIDENT_MAX:
+        _RESIDENT_ALIGNERS.pop(next(iter(_RESIDENT_ALIGNERS)))
+
 
 class ClassificationRun:
     def __init__(self, config: RunConfig):
@@ -344,27 +391,6 @@ class ClassificationRun:
 
         def run():
             t0 = time.time()
-            index = None
-            if os.path.exists(idx_path) and not cfg.force_download:
-                try:
-                    index = MinimizerIndex.load(idx_path)
-                except Exception as e:  # noqa: BLE001 — corrupt cache entry
-                    logger.warning("cached index unreadable (%s); rebuilding", e)
-                    index = None
-                if index is not None and (
-                    index.k != cfg.align_k or index.w != cfg.align_w
-                ):
-                    logger.warning("cached index k/w mismatch; rebuilding")
-                    index = None
-                elif index is not None:
-                    logger.info("cached minimizer index: %s", idx_path)
-            if index is None:
-                index = MinimizerIndex.build_from_fasta(
-                    combined, k=cfg.align_k, w=cfg.align_w
-                )
-                index.save(idx_path)
-            t_load = time.time() - t0
-            t0 = time.time()
             aln_cfg = AlignerConfig(batch_pad=cfg.align_batch_pad)
             # cross-module contract (round-4 review, weak #6): the LCA
             # bucketer drops nothing only while the aligner's per-query
@@ -380,13 +406,53 @@ class ClassificationRun:
                     f"(ops/lca.py DEFAULT_BUCKETS)"
                 )
             mesh = self._mesh()
-            if mesh is not None:
-                from hymet_tpu.parallel.align import ShardedMinimizerAligner
+            aligner = None
+            t_load = t_stage = 0.0
+            if mesh is None:
+                # HBM-resident index cache: a serving process maps many
+                # samples against the same candidate index; reloading the
+                # .npz and re-uploading ~hundreds of MB of search tables
+                # per run costs multiple seconds on a tunnel link (round-5
+                # bench: 0.8-3.7 s load + 2.6-8.7 s stage of a 24 s run).
+                # The reference reloads minimap2's index per invocation
+                # (scripts/minimap2.sh:23) because mm2 is a one-shot
+                # binary; a resident device DB is the TPU-native shape.
+                aligner = _resident_aligner_get(idx_path, aln_cfg, cfg)
+            if aligner is None:
+                index = None
+                if os.path.exists(idx_path) and not cfg.force_download:
+                    try:
+                        index = MinimizerIndex.load(idx_path)
+                    except Exception as e:  # noqa: BLE001 — corrupt cache
+                        logger.warning(
+                            "cached index unreadable (%s); rebuilding", e
+                        )
+                        index = None
+                    if index is not None and (
+                        index.k != cfg.align_k or index.w != cfg.align_w
+                    ):
+                        logger.warning("cached index k/w mismatch; rebuilding")
+                        index = None
+                    elif index is not None:
+                        logger.info("cached minimizer index: %s", idx_path)
+                if index is None:
+                    index = MinimizerIndex.build_from_fasta(
+                        combined, k=cfg.align_k, w=cfg.align_w
+                    )
+                    index.save(idx_path)
+                t_load = time.time() - t0
+                t0 = time.time()
+                if mesh is not None:
+                    from hymet_tpu.parallel.align import ShardedMinimizerAligner
 
-                aligner = ShardedMinimizerAligner(mesh, index, aln_cfg)
+                    aligner = ShardedMinimizerAligner(mesh, index, aln_cfg)
+                else:
+                    aligner = MinimizerAligner(index, aln_cfg)
+                    _resident_aligner_put(idx_path, aln_cfg, aligner)
+                t_stage = time.time() - t0
             else:
-                aligner = MinimizerAligner(index, aln_cfg)
-            t_stage = time.time() - t0
+                logger.info("resident device index: %s", idx_path)
+                t_load = time.time() - t0
             t0 = time.time()
             if self._contigs is not None:
                 qnames, qseqs = self._contigs
@@ -402,7 +468,7 @@ class ClassificationRun:
                 "(%.0f MB index) map=%.2fs",
                 t_load,
                 t_stage,
-                index.n_minimizers * 20 / 1e6,
+                aligner.index.n_minimizers * 20 / 1e6,
                 t_map,
             )
             write_paf(paf_path, records)

@@ -319,3 +319,39 @@ def test_profile_traces_per_stage(world, tmp_path, monkeypatch):
     for stage in ("screen", "align", "classify"):
         files = [f for f in (prof_root / stage).rglob("*") if f.is_file()]
         assert files, f"no trace files for stage {stage}"
+
+
+def test_resident_aligner_cache(tmp_path, monkeypatch):
+    """The HBM-resident aligner cache returns the SAME aligner for an
+    unchanged index file + config, and invalidates on file change or
+    config change (run 2 of a serving process must not re-upload the
+    search tables)."""
+    import numpy as np
+
+    from hymet_tpu.io.minimizer_index import MinimizerIndex
+    from hymet_tpu.models.aligner import AlignerConfig, MinimizerAligner
+    from hymet_tpu.pipeline import run as runmod
+
+    monkeypatch.setattr(runmod, "_RESIDENT_ALIGNERS", {})
+    rng = np.random.default_rng(3)
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genomes = [("g0", rng.choice(acgt, size=4000).astype(np.uint8).tobytes())]
+    idx = MinimizerIndex.build(genomes, k=19, w=19)
+    p = str(tmp_path / "idx.npz")
+    idx.save(p)
+
+    class _RC:
+        align_k, align_w, force_download = 19, 19, False
+
+    cfg = AlignerConfig(batch_pad=1 << 10)
+    aln = MinimizerAligner(idx, cfg)
+    runmod._resident_aligner_put(p, cfg, aln)
+    assert runmod._resident_aligner_get(p, cfg, _RC) is aln
+    # config change misses
+    assert runmod._resident_aligner_get(p, AlignerConfig(), _RC) is None
+    # file rewrite invalidates (mtime_ns/size key)
+    os.utime(p, ns=(1, 1))
+    assert runmod._resident_aligner_get(p, cfg, _RC) is None
+    # HYMET_RESIDENT_INDEX=0 disables
+    monkeypatch.setenv("HYMET_RESIDENT_INDEX", "0")
+    assert runmod._resident_aligner_get(p, cfg, _RC) is None
