@@ -91,13 +91,17 @@ class AlignerConfig:
     # minimap2 applies pri_ratio to the ANCHOR-BASED chain score (s1);
     # our mlen = min(cnt*k, span) saturates at the query span for dense
     # anchor runs, losing that signal — a 0.4%-divergent sibling strain
-    # ties the true strain on mlen (span-equal) while trailing ~15% on
-    # anchor count, and its surviving secondary row then coin-flips the
-    # classifier's strain pick (cami_hard diagnosis: 33.8% of contigs).
-    # Secondaries dominated by >= 10% on anchor count are dropped;
-    # near-equal explanations (novel-species relatives at ~equal counts)
-    # are kept so the LCA can still back off. 0 disables.
-    sec_count_ratio: float = 0.9
+    # ties the true strain on every classifier-visible PAF column
+    # (cov = blocklen/qlen, reference classification_cami.py:181-208),
+    # so a surviving sibling row lets the sample-wide abundance prior
+    # coin-flip the strain pick. Population separation (cami_hard
+    # round-5 diagnosis): a sibling at divergence d keeps ~(1-d)^k of
+    # the anchors — 0.93 at d=0.4%, k=19 — while novel-species contigs'
+    # two relatives tie near 1.0; 0.96 sits between the populations
+    # (0.9, the round-4 value, left the 0.93 cluster's rows alive: 24
+    # residual wrong-strain picks). Near-equal explanations still
+    # survive so the LCA can back off. 0 disables.
+    sec_count_ratio: float = 0.96
     batch_pad: int = 1 << 16  # query padding quantum
     # occurrence-budget seeding (minimap2's mid-occ analog, applied to
     # its asm10 seeding from /root/reference/scripts/minimap2.sh:23):
@@ -704,7 +708,7 @@ def _chain_reduce_sorted(
         & (rel[1:] == rel[:-1])
         & (band[1:] - band[:-1] <= 1)
     )
-    cs, cnt, minq, maxq, minr, maxr, n_chains = _chain_core(
+    cs, cnt, minq, maxq, minr, maxr, score, n_chains = _chain_core(
         same, valid, s_p, s_r, k, min_cnt, min_mlen, ccap, block
     )
     g_k1 = s_k1[cs]
@@ -718,6 +722,7 @@ def _chain_reduce_sorted(
             maxq[cs],
             minr[cs],
             maxr[cs],
+            score.astype(jnp.uint32),
         ],
         axis=-1,
     )
@@ -750,15 +755,16 @@ def _chain_block() -> int:
     return int(os.environ.get("HYMET_CHAIN_BLOCK", str(1 << 17)))
 
 
-def _seg_scans_blocked(start, s_p, s_r, iota, block: int):
-    """The two full-width scans of :func:`_chain_core` (segmented min/max
-    extents + cummax of start indices), chunked into a lax.scan over
-    fixed ``block``-sized slabs. The carry holds the open segment's
-    running extents and the last chain-start index at each block
-    boundary; seeding block b's first element with ``_seg_comb(carry,
-    x0)`` makes every prefix aggregate identical to the unblocked scan
-    (associativity over exact integer ops => byte-identical results,
-    pinned by test_chain_core_blocked_matches_unblocked)."""
+def _seg_scans_blocked(start, s_p, s_r, iota, contrib, block: int):
+    """The full-width scans of :func:`_chain_core` (segmented min/max
+    extents, cummax of start indices, cumsum of coverage contributions),
+    chunked into a lax.scan over fixed ``block``-sized slabs. The carry
+    holds the open segment's running extents, the last chain-start index
+    and the running contribution sum at each block boundary; seeding
+    block b's first element with ``_seg_comb(carry, x0)`` makes every
+    prefix aggregate identical to the unblocked scan (associativity over
+    exact integer ops => byte-identical results, pinned by
+    test_chain_core_blocked_matches_unblocked)."""
     A = start.shape[0]
     pad = (-A) % block
     if pad:
@@ -770,11 +776,14 @@ def _seg_scans_blocked(start, s_p, s_r, iota, block: int):
         iota = jnp.concatenate(
             [iota, jnp.zeros((pad,), iota.dtype)]
         )
+        contrib = jnp.concatenate(
+            [contrib, jnp.zeros((pad,), contrib.dtype)]
+        )
     nblk = (A + pad) // block
 
     def body(carry, xs):
-        c_f, c_mnq, c_mxq, c_mnr, c_mxr, c_sidx = carry
-        b_start, b_p, b_r, b_iota = xs
+        c_f, c_mnq, c_mxq, c_mnr, c_mxr, c_sidx, c_sum = carry
+        b_start, b_p, b_r, b_iota, b_c = xs
         f0, mnq0, mxq0, mnr0, mxr0 = _seg_comb(
             (c_f, c_mnq, c_mxq, c_mnr, c_mxr),
             (b_start[0], b_p[0], b_p[0], b_r[0], b_r[0]),
@@ -792,14 +801,21 @@ def _seg_scans_blocked(start, s_p, s_r, iota, block: int):
         sidx = jnp.maximum(
             jax.lax.cummax(jnp.where(b_start, b_iota, 0)), c_sidx
         )
-        carry2 = (f[-1], minq[-1], maxq[-1], minr[-1], maxr[-1], sidx[-1])
-        return carry2, (minq, maxq, minr, maxr, sidx)
+        csum = jnp.cumsum(b_c) + c_sum
+        carry2 = (
+            f[-1], minq[-1], maxq[-1], minr[-1], maxr[-1], sidx[-1],
+            csum[-1],
+        )
+        return carry2, (minq, maxq, minr, maxr, sidx, csum)
 
     zp = jnp.zeros((), s_p.dtype)
     zr = jnp.zeros((), s_r.dtype)
-    init = (jnp.asarray(True), zp, zp, zr, zr, jnp.zeros((), iota.dtype))
+    init = (
+        jnp.asarray(True), zp, zp, zr, zr, jnp.zeros((), iota.dtype),
+        jnp.zeros((), contrib.dtype),
+    )
     xs = tuple(
-        a.reshape(nblk, block) for a in (start, s_p, s_r, iota)
+        a.reshape(nblk, block) for a in (start, s_p, s_r, iota, contrib)
     )
     _, outs = jax.lax.scan(body, init, xs)
     return tuple(o.reshape(-1)[:A] for o in outs)
@@ -818,21 +834,44 @@ def _chain_core(
     2-key and flat-band key layouts. ``block`` > 0 chunks the two
     full-width scans into a lax.scan (see :func:`_chain_block`);
     byte-identical either way. Returns
-    (cs, cnt, minq, maxq, minr, maxr, n_chains); callers gather their
-    output columns at the `cs` positions only."""
+    (cs, cnt, minq, maxq, minr, maxr, score, n_chains); callers gather
+    their output columns at the `cs` positions only.
+
+    ``score`` is the minimap2 chaining-score analog (mm_chain_dp's s1,
+    gapless): the UNION of the chain's anchor k-mer intervals on the
+    query, i.e. a segmented sum of clip(qpos delta, 0, k) with k for the
+    first anchor. Unlike ``mlen`` (min(cnt*k, span), which saturates at
+    the query span for dense runs) it separates 0.4%-divergent sibling
+    strains: the true strain's extra anchors cover more query bases even
+    at equal spans (cami_hard round-5 diagnosis: all 24 residual
+    sibling-strain picks had equal mlen but 4-18% higher true-strain
+    anchor counts)."""
     A = valid.shape[0]
     start = jnp.concatenate([jnp.ones((1,), bool), ~same])
     iota = jnp.arange(A, dtype=jnp.int32)
+    kk = jnp.int32(k)
+    # per-anchor query-coverage contribution (anchors within a chain are
+    # qpos-ascending per (band) run; a +-1-band merge can step qpos
+    # backwards — clip to [0, k] so those contribute 0 like an overlap)
+    dq = (s_p[1:].astype(jnp.int32) - s_p[:-1].astype(jnp.int32))
+    contrib = jnp.where(
+        start,
+        kk,
+        jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.clip(dq, 0, kk)]
+        ),
+    )
 
     if block and A > block:
-        minq, maxq, minr, maxr, start_idx = _seg_scans_blocked(
-            start, s_p, s_r, iota, block
+        minq, maxq, minr, maxr, start_idx, csum = _seg_scans_blocked(
+            start, s_p, s_r, iota, contrib, block
         )
     else:
         _, minq, maxq, minr, maxr = jax.lax.associative_scan(
             _seg_comb, (start, s_p, s_p, s_r, s_r)
         )
         start_idx = jax.lax.cummax(jnp.where(start, iota, 0))
+        csum = jnp.cumsum(contrib)
     cnt = iota - start_idx + 1
     is_end = jnp.concatenate([start[1:], jnp.ones((1,), bool)])
     span_q = (maxq - minq).astype(jnp.int32) + k
@@ -842,7 +881,11 @@ def _chain_core(
     not_good = (~good).astype(jnp.uint32)
     _, cperm = jax.lax.sort((not_good, iota), dimension=0, num_keys=1)
     cs = cperm[:ccap]
-    return cs, cnt, minq, maxq, minr, maxr, n_chains
+    # score over [cs] only: inclusive-cumsum difference across the chain
+    # (contrib at the start anchor is always k, folded back in)
+    st = start_idx[cs]
+    score = csum[cs] - csum[st] + contrib[st]
+    return cs, cnt, minq, maxq, minr, maxr, score, n_chains
 
 
 def _chain_reduce_sorted_flat(
@@ -861,7 +904,7 @@ def _chain_reduce_sorted_flat(
     big = jnp.uint32(_KEY_BIG)
     valid = s_key != big
     same = (s_key[1:] - s_key[:-1]) <= 1
-    cs, cnt, minq, maxq, minr, maxr, n_chains = _chain_core(
+    cs, cnt, minq, maxq, minr, maxr, score, n_chains = _chain_core(
         same, valid, s_p, s_r, k, min_cnt, min_mlen, ccap, block
     )
     g_key = s_key[cs]
@@ -882,6 +925,7 @@ def _chain_reduce_sorted_flat(
             maxq[cs],
             minr[cs],
             maxr[cs],
+            score.astype(jnp.uint32),
         ],
         axis=-1,
     )
@@ -1296,10 +1340,10 @@ def _is_compile_service_error(e: Exception) -> bool:
 def _chains_from_rows(
     rows: np.ndarray, k: int, seq_offset: int = 0
 ) -> List["_Chain"]:
-    """Build _Chain objects from device [n, 8] uint32 chain rows."""
+    """Build _Chain objects from device [n, 9] uint32 chain rows."""
     arr = rows.astype(np.int64)
     out = []
-    for q, s, rel, cnt, minq, maxq, minr, maxr in arr:
+    for q, s, rel, cnt, minq, maxq, minr, maxr, score in arr:
         span_q = maxq - minq + k
         span_r = maxr - minr + k
         out.append(
@@ -1314,6 +1358,7 @@ def _chains_from_rows(
                 maxr=int(maxr),
                 mlen=int(min(cnt * k, span_q)),
                 blen=int(max(span_q, span_r)),
+                score=int(score),
             )
         )
     return out
@@ -1331,6 +1376,9 @@ class _Chain:
     maxr: int
     mlen: int = 0
     blen: int = 0
+    # minimap2 s1 analog: union of anchor k-mer intervals on the query
+    # (see _chain_core) — the primary-ranking score
+    score: int = 0
 
 
 class MinimizerAligner:
@@ -1863,6 +1911,15 @@ def chains_from_sorted_anchors(
     span_r = c_maxr - c_minr + k
     c_mlen = np.minimum(c_cnt * k, span_q)
     c_blen = np.maximum(span_q, span_r)
+    # union anchor coverage on the query (the device path's `score`,
+    # byte-identical: same qpos-ascending order within bands, same
+    # clip-to-[0,k] handling of +-1-band-merge backsteps)
+    astart = np.zeros(n, dtype=bool)
+    astart[starts[cstarts]] = True
+    dq = np.zeros(n, dtype=np.int64)
+    dq[1:] = qpos[1:].astype(np.int64) - qpos[:-1].astype(np.int64)
+    contrib = np.where(astart, k, np.clip(dq, 0, k))
+    c_score = np.add.reduceat(contrib, starts[cstarts])
     good = (c_cnt >= cfg.min_cnt) & (c_mlen >= cfg.min_mlen)
     idx = np.flatnonzero(good)
     first = cstarts[idx]
@@ -1878,6 +1935,7 @@ def chains_from_sorted_anchors(
             maxr=int(c_maxr[c]),
             mlen=int(c_mlen[c]),
             blen=int(c_blen[c]),
+            score=int(c_score[c]),
         )
         for c, f in zip(idx, first)
     ]
@@ -1894,16 +1952,19 @@ def emit_paf(
 ) -> List[PafRecord]:
     if not chains:
         return []
-    # anchor count breaks mlen ties (mlen saturates at the query span for
-    # dense runs): the primary must be the better-SUPPORTED chain, or the
-    # count-dominance filter below could drop the true strain instead
-    chains.sort(key=lambda c: (-c.mlen, -c.count))
+    # rank by the minimap2-s1-analog `score` (union anchor coverage):
+    # mlen saturates at the query span for dense runs, so a sibling
+    # strain whose alignment spans a few more bases could outrank the
+    # true strain carrying 4-18% more anchors (cami_hard round-5
+    # diagnosis — all 24 residual sibling-strain errors); count and mlen
+    # break residual ties
+    chains.sort(key=lambda c: (-c.score, -c.count, -c.mlen))
     # minimap2-style primary marking (mm_set_parent): walking chains by
     # descending score, a chain is secondary iff its query interval
     # overlaps an already-chosen primary by > mask_level of the shorter
     # span; disjoint spans (e.g. chimeric contigs) each get their own
     # primary. Each primary's mapq derives from its own best secondary.
-    primaries: List[Tuple[_Chain, int]] = []  # (chain, best sub-mlen)
+    primaries: List[Tuple[_Chain, int]] = []  # (chain, best sub-score)
     parent_of: List[Optional[int]] = []
     for c in chains:
         parent = None
@@ -1918,8 +1979,8 @@ def emit_paf(
             parent_of.append(None)
         else:
             p, sub = primaries[parent]
-            if c.mlen > sub:
-                primaries[parent] = (p, c.mlen)
+            if c.score > sub:
+                primaries[parent] = (p, c.score)
             parent_of.append(parent)
 
     out: List[PafRecord] = []
@@ -1930,11 +1991,11 @@ def emit_paf(
         mapq = 0
         if primary:
             sub = next(s for p, s in primaries if p is c)
-            frac = sub / c.mlen if c.mlen else 1.0
+            frac = sub / c.score if c.score else 1.0
             mapq = int(min(60, max(0, 60 * (1.0 - frac))))
         else:
             pri = primaries[parent][0]
-            if c.mlen < cfg.pri_ratio * pri.mlen:
+            if c.score < cfg.pri_ratio * pri.score:
                 continue
             if cfg.sec_count_ratio and c.count < cfg.sec_count_ratio * pri.count:
                 continue
@@ -1952,7 +2013,12 @@ def emit_paf(
                 tlen=int(lengths[c.seq]),
                 tstart=c.minr,
                 tend=c.maxr + k,
-                nmatch=c.mlen,
+                # minimap2 reports the chain's matching-length estimate
+                # (sum of min(anchor gap, k)) as column 10 for chain-only
+                # mappings — `score` IS that value; min(cnt*k, span)
+                # over-reported it for dense runs and tied sibling
+                # strains in every classifier-visible column
+                nmatch=c.score,
                 blocklen=c.blen,
                 mapq=mapq,
                 tags={

@@ -138,6 +138,46 @@ def main() -> None:
         print(f"{b:16s} {n:5d} {100.0 * n / total:6.1f}")
     print(f"wrote {out}")
 
+    # --- species-L1 information floor (VERDICT r5 #5) ---------------------
+    # Held-out ("novel") species are absent from every reference DB, so a
+    # classifier can NEVER predict them: their entire truth abundance is
+    # an unavoidable under-prediction, and wherever their contigs land
+    # (their nearest in-reference species, by construction) is the
+    # mirror-image over-prediction. The species L1 floor is therefore
+    # ~2x the novel truth share; comparing it to the measured L1 shows
+    # how much of the residual is recoverable at all.
+    truth_bp = defaultdict(float)
+    contig_bp = {}
+    from hymet_tpu.io.fasta import iter_fasta
+
+    for name, seq in iter_fasta(os.path.join(WORK, "sample.fna")):
+        contig_bp[name.split()[0]] = float(len(seq))
+    tot_bp = sum(contig_bp.get(c, 0.0) for c in truth)
+    for c, t_strain in truth.items():
+        truth_bp[strain_species[t_strain]] += contig_bp.get(c, 0.0)
+    novel_share = 100.0 * sum(
+        bp for sp, bp in truth_bp.items() if sp not in indb_species
+    ) / max(tot_bp, 1.0)
+    eval_tsv = os.path.join(
+        ROOT, "validation", "results", "cami_hard_validation.tsv"
+    )
+    measured_l1 = None
+    try:
+        with open(eval_tsv) as f:
+            for line in f:
+                k, v = line.rstrip("\n").split("\t")
+                if k == "profile_l1_species":
+                    measured_l1 = float(v)
+    except OSError:
+        pass
+    floor = 2.0 * novel_share
+    print(
+        f"species-L1 floor: novel truth share {novel_share:.2f} pct-pts "
+        f"-> floor ~{floor:.2f}; measured "
+        f"{measured_l1 if measured_l1 is not None else 'n/a'} "
+        f"({'AT floor' if measured_l1 is not None and measured_l1 <= floor * 1.15 else 'above floor'})"
+    )
+
 
 if __name__ == "__main__":
     main()
