@@ -139,17 +139,24 @@ def kmer_hashes_pallas(codes: jax.Array, k: int, interpret: bool = False):
 
     kernel = functools.partial(_hash_tile_kernel, k=k, n_total=n)
     out_shape = (B, n_tiles * TILE)
+    # the kernel's scoped-vmem footprint scales with the block's ROW
+    # count (the 21 lane-roll temporaries are [rows, TILE+128] each): a
+    # 256-row single block hits "Scoped allocation 52.83M > 16.00M"
+    # (round-4 probe). Tile rows at 64 when B divides evenly — the tile
+    # index stays program_id(0), so the kernel's validity math (which
+    # only reads the lane/tile axis) is untouched.
+    rb = 64 if (B > 64 and B % 64 == 0) else B
     hi, lo, valid = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_tiles, B // rb),
         in_specs=[
-            pl.BlockSpec((B, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, TILE), lambda t: (0, t + 1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, TILE), lambda t, r: (r, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, TILE), lambda t, r: (r, t + 1), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((B, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, TILE), lambda t, r: (r, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, TILE), lambda t, r: (r, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, TILE), lambda t, r: (r, t), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(out_shape, jnp.uint32),

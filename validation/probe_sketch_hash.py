@@ -33,12 +33,10 @@ def main() -> None:
     k = 21
     smoke = os.environ.get("PROBE_SMOKE") == "1"  # CPU/interpret dry run
     L = 8192 if smoke else 131072
-    # rows stay <= 64: the Mosaic kernel's scoped-vmem block scales with
-    # row count and the old 256-row case OOMs the 16M stack limit
-    # (observed r4c: "Scoped allocation with size 52.83M and limit
-    # 16.00M"); the product path pins 64 rows for the same reason.
-    # Shape dependence is covered by the 8 x 1 Mbp case below.
-    row_list = (8,) if smoke else (64,)
+    # 256 rows exercises the kernel's row-tiling (the single-block form
+    # OOM'd scoped vmem at 52.83M > 16M, r4c; kmer_hashes_pallas now
+    # grids rows at 64) — restored for the VPU op-rate attribution cell
+    row_list = (8,) if smoke else (64, 256)
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() == "tpu"
 
