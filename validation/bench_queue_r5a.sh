@@ -67,6 +67,10 @@ run_script() {
 run_stage e2e_score 5400
 # 2) repeat for stability / provenance
 run_stage e2e_score_rep 3600
+# 2b) occurrence-budget A/B (flag-gated seeding, VERDICT r5 #2): budget =
+#     2x the minimizer cap caps anchors at ~2M/batch vs the 1.5-4M the
+#     acap runs today; accuracy gate inside bench.py validates the run.
+run_stage e2e_occ 5400 HYMET_OCC_BUDGET=2.0
 # 3) sharded single-chip overhead bound (VERDICT r5 #6)
 run_script sharded_overhead 5400 python3 validation/probe_sharded_overhead.py
 # 4) sketch probe: row-tiled 256-row case + VPU op-rate cells (VERDICT r5 #7)
