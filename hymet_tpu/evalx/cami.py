@@ -36,22 +36,40 @@ def parse_lineage_cami(lineage: str) -> Dict[str, str]:
 def read_lineages(path: str) -> List[Dict[str, str]]:
     """Per-contig rank->name lineages from ``classified_sequences.tsv``
     (rows whose Lineage column names at least one recognized rank)."""
+    return [ranks for _, ranks in read_query_lineages(path)]
+
+
+def read_query_lineages(path: str) -> List[Tuple[str, Dict[str, str]]]:
+    """Like :func:`read_lineages` but keeps the Query column, so callers
+    can weight records (e.g. by contig length) instead of counting."""
+    out: List[Tuple[str, Dict[str, str]]] = []
     with open(path, encoding="utf-8", errors="ignore") as fh:
-        rows = (parse_lineage_cami(r.get("Lineage", "")) for r in csv.DictReader(fh, delimiter="\t"))
-        return [ranks for ranks in rows if any(ranks.values())]
+        for r in csv.DictReader(fh, delimiter="\t"):
+            ranks = parse_lineage_cami(r.get("Lineage", ""))
+            if any(ranks.values()):
+                out.append((r.get("Query", ""), ranks))
+    return out
 
 
 def tally_by_rank(
-    lineages: List[Dict[str, str]], name2tid: Dict[str, str]
+    lineages: List[Dict[str, str]],
+    name2tid: Dict[str, str],
+    weights: List[float] = None,
 ) -> Tuple[Dict[str, Dict[str, int]], Dict[str, int], set]:
     """Per-rank taxid tallies over resolvable names. Returns
-    (counts per rank, per-rank totals, the set of taxids used)."""
+    (counts per rank, per-rank totals, the set of taxids used).
+
+    ``weights=None`` counts records, byte-parity with the reference
+    converter (``tools/hymet2cami.py:117-131``). A weights list (one per
+    lineage, e.g. contig lengths) makes the profile abundance-weighted —
+    the CAMI convention proper — as an opt-in extension."""
     counts: Dict[str, Dict[str, int]] = {rank: defaultdict(int) for rank in CAMI_RANKS}
-    for ranks in lineages:
+    for i, ranks in enumerate(lineages):
+        w = 1 if weights is None else weights[i]
         for rank in CAMI_RANKS:
             tid = name2tid.get(ranks.get(rank) or "")
             if tid:
-                counts[rank][tid] += 1
+                counts[rank][tid] += w
     totals = {rank: sum(counts[rank].values()) for rank in CAMI_RANKS}
     used = {tid for per_rank in counts.values() for tid in per_rank}
     return counts, totals, used
@@ -92,12 +110,21 @@ def classified_to_cami(
     taxdb: TaxonomyDB,
     out_path: str,
     sample_id: str = "sample_0",
+    lengths: Dict[str, int] = None,
 ) -> int:
-    """Full conversion; returns the number of lineage records used."""
-    records = read_lineages(classified_tsv)
+    """Full conversion; returns the number of lineage records used.
+
+    ``lengths`` (contig name -> bp, missing contigs weigh 1) switches
+    the profile from the reference's contig-count weighting to CAMI
+    abundance weighting; default ``None`` keeps byte parity."""
+    pairs = read_query_lineages(classified_tsv)
+    records = [ranks for _, ranks in pairs]
     all_names = {n for parsed in records for n in parsed.values() if n}
     name2tid = taxdb.batch_name2taxid(all_names)
-    counts, totals, needed = tally_by_rank(records, name2tid)
+    weights = (
+        None if lengths is None else [lengths.get(q, 1) for q, _ in pairs]
+    )
+    counts, totals, needed = tally_by_rank(records, name2tid, weights)
     taxid2path: Dict[str, Tuple[str, str]] = {}
     for tid in needed:
         ids, names = taxdb.taxpath(tid)

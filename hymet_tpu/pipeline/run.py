@@ -555,7 +555,19 @@ class ClassificationRun:
         def run():
             from hymet_tpu.evalx.cami import classified_to_cami
 
-            return classified_to_cami(classified, self._taxdb(), out, sample)
+            # HYMET_PROFILE_WEIGHT=length emits an abundance-weighted
+            # profile (CAMI convention); the default "count" keeps byte
+            # parity with the reference converter (tools/hymet2cami.py).
+            lengths = None
+            if os.environ.get("HYMET_PROFILE_WEIGHT", "count") == "length":
+                from hymet_tpu.io.fasta import iter_fasta
+
+                lengths = {
+                    name: len(seq) for name, seq in iter_fasta(cfg.input_fasta)
+                }
+            return classified_to_cami(
+                classified, self._taxdb(), out, sample, lengths=lengths
+            )
 
         self._timed("export", run)
         return out

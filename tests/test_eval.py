@@ -146,3 +146,42 @@ def test_profile_parse_taxpath_format(tmp_path):
     )
     prof = read_profile(str(p), None)
     assert prof["species"]["562"] == pytest.approx(100.0)
+
+
+def test_classified_to_cami_length_weighting(tmp_path, mini_taxdb):
+    """The converter's opt-in abundance weighting (CAMI convention);
+    default stays count-weighted for reference byte parity
+    (tools/hymet2cami.py:117-131)."""
+    from hymet_tpu.evalx.cami import classified_to_cami, parse_cami_profile
+
+    tsv = tmp_path / "classified_sequences.tsv"
+    tsv.write_text(
+        "Query\tLineage\tTaxonomic Level\tConfidence\n"
+        "c1\tsuperkingdom:Bacteria; family:Enterobacteriaceae; "
+        "species:Escherichia coli\tspecies\t1.0000\n"
+        "c2\tsuperkingdom:Bacteria; family:Enterobacteriaceae; "
+        "species:Salmonella enterica\tspecies\t1.0000\n"
+    )
+
+    def species_pcts(path):
+        return {
+            r["taxid"]: r["percentage"]
+            for r in parse_cami_profile(str(path))
+            if r["rank"] == "species"
+        }
+
+    out_count = tmp_path / "count.cami.tsv"
+    classified_to_cami(str(tsv), mini_taxdb, str(out_count))
+    assert species_pcts(out_count) == {"562": 50.0, "28901": 50.0}
+
+    out_len = tmp_path / "len.cami.tsv"
+    classified_to_cami(
+        str(tsv), mini_taxdb, str(out_len), lengths={"c1": 3000, "c2": 1000}
+    )
+    assert species_pcts(out_len) == {"562": 75.0, "28901": 25.0}
+    # a contig missing from the length map weighs 1, not 0
+    out_partial = tmp_path / "partial.cami.tsv"
+    classified_to_cami(
+        str(tsv), mini_taxdb, str(out_partial), lengths={"c1": 3}
+    )
+    assert species_pcts(out_partial) == {"562": 75.0, "28901": 25.0}

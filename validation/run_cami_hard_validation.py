@@ -237,6 +237,12 @@ def main() -> None:
         genome_catalog=genomes_dir,
         seqid2taxid=s2t_path,
     )
+    # Abundance-weighted profile (CAMI convention): the truth profile is
+    # rebuilt length-weighted, so the prediction must be too — the
+    # reference's count-weighted converter vs a length-weighted truth
+    # inflates species L1 by ~5.7 pct-pts here (see
+    # validation/analyze_l1_ceiling.py and results/cami_hard_l1_ceiling.tsv).
+    os.environ["HYMET_PROFILE_WEIGHT"] = "length"
     t0 = time.time()
     classified = ClassificationRun(cfg).execute()
     run_s = time.time() - t0
