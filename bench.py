@@ -519,7 +519,10 @@ def bench_pipeline() -> dict:
         return total_s, timings
 
     budget_s = min(600.0, max(60.0, deadline.remaining_s(690.0) - 90.0))
-    runs = timed_groups(_timed, min_runs=2, max_runs=4, budget_s=budget_s)
+    # 8 draws: post-warm runs cost ~20 s and the spread is dominated by
+    # the tunnel's contig-upload variance (2.4-5.5 s on 59.8 MB), so
+    # more draws tighten the best-of estimate at trivial wall cost
+    runs = timed_groups(_timed, min_runs=2, max_runs=8, budget_s=budget_s)
     # the pipeline times itself inside _run_once (excludes outdir cleanup)
     best, best_timings = best_run([r for _, r in runs])
     cps = w["n_contigs"] / best
@@ -529,11 +532,21 @@ def bench_pipeline() -> dict:
         f"best {best:.2f}s -> {cps:.1f} contigs/s ({mbps:.1f} Mbp/s); "
         f"stages: " + " ".join(f"{k}={v:.2f}s" for k, v in best_timings.items())
     )
+    # link-excluded rate: the contig upload is a dev-tunnel artifact
+    # (<0.1 s on production-attached TPU); report the compute rate
+    # alongside the headline so both provenances are recorded
+    upload_s = best_timings.get("upload", 0.0)
+    cps_nolink = w["n_contigs"] / max(best - upload_s, 1e-9)
+    log(f"link-excluded: {cps_nolink:.1f} contigs/s (upload {upload_s:.2f}s)")
     return {
         "metric": "pipeline_contigs_per_s",
         "value": round(cps, 2),
         "unit": "contigs/s",
         "vs_baseline": round(cps / PIPE_BASELINE_CONTIGS_PER_S, 2),
+        "link_excluded_contigs_per_s": round(cps_nolink, 2),
+        "link_excluded_vs_baseline": round(
+            cps_nolink / PIPE_BASELINE_CONTIGS_PER_S, 2
+        ),
     }
 
 
