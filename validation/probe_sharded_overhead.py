@@ -59,10 +59,16 @@ def main() -> None:
     codes_j = jnp.asarray(codes)
     jax.block_until_ready(codes_j)
 
+    # engines constructed ONCE, outside the timed region: the serving
+    # pattern stages DB tables once and streams samples through — timing
+    # construction would charge the sharded engine its one-time staging
+    # on every call (the first cut of this probe did exactly that and
+    # reported a bogus +420% screen overhead)
+    single_eng = ScreenEngine(db)
+
     def single_screen():
-        eng = ScreenEngine(db)
-        eng.update_codes(codes_j)
-        r = eng.finalize()
+        single_eng.update_codes(codes_j)
+        r = single_eng.finalize()
         jax.block_until_ready((r.shared,) if hasattr(r.shared, "device") else ())
         return r
 
@@ -72,11 +78,11 @@ def main() -> None:
     results["screen_single_s"] = _best(single_screen)
 
     mesh = make_mesh(data=1, db=1)
+    sharded_eng = ShardedScreenEngine(mesh, db)
 
     def sharded_screen():
-        eng = ShardedScreenEngine(mesh, db)
-        eng.update_codes(codes)
-        return eng.finalize()
+        sharded_eng.update_codes(codes)
+        return sharded_eng.finalize()
 
     t0 = time.time()
     got = sharded_screen()
