@@ -17,6 +17,18 @@ the next batch), and both stages consume the resident buffers:
   counts, identities, and the threshold walk are byte-identical;
 - the aligner re-uses them directly (``map_batch(..., staged=...)``).
 
+Round 5 adds **tight upload + device repack** (default; disable with
+``HYMET_TIGHT_UPLOAD=0``): the padded layout is ~1.7x the real bases
+(geometric pad buckets), so shipping padded bytes wastes ~40% of the
+link. Instead the per-contig 2-bit segments cross the link tightly
+concatenated with per-row offsets, and a small device program scatters
+them into the padded [rows, Lpad/4] layout (64 contiguous
+dynamic-slices — DMA copies, not random gathers). The validity bitmask
+is DERIVED on device from contig lengths (zero upload bytes) whenever a
+group has no ambiguous bases; groups containing N codes fall back to
+uploading their mask segments tightly. Output buffers are byte-identical
+to the classic path (pinned by test_pipeline staged-parity tests).
+
 The reference streams the FASTA from disk once per stage instead
 (``scripts/mash.sh:14``, ``scripts/minimap2.sh:23``); staging beats
 that rather than tying it. Enabled by default on the single-device
@@ -26,10 +38,81 @@ device-chain path (``HYMET_SHARED_UPLOAD=0`` disables); the sharded
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import List, Sequence, Tuple
 
-from hymet_tpu.io.fasta import pack_code_batch
-from hymet_tpu.models.aligner import build_group_batch, plan_query_groups
+import numpy as np
+
+from hymet_tpu.io.fasta import encode_seq, pack_code_batch
+from hymet_tpu.models.aligner import (
+    build_group_batch,
+    pad_query_len,
+    plan_query_groups,
+)
+
+_ALIGN = 128  # per-row segment alignment in the tight buffer
+
+
+def _quantize(n: int, quantum: int) -> int:
+    return -(-max(n, 1) // quantum) * quantum
+
+
+def _cap_quantum(need: int) -> int:
+    """Capacity quantum for tight buffers: 1/8 of the floor power of two
+    (<= 12.5% relative pad, <= 8 distinct shapes per octave — compile
+    cache stability without re-shipping the padding we just removed)."""
+    return max(1 << 14, (1 << (max(need, 1).bit_length() - 1)) >> 3)
+
+
+@functools.lru_cache(maxsize=1)
+def _repack_fns():
+    """Jitted device-repack programs (built lazily so importing this
+    module never initializes jax backends)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("W", "M"))
+    def derived(tight_p, offp, plen, nlen, W: int, M: int):
+        # packed rows: one contiguous DMA slice per row, zero past the
+        # row's own bytes (slices may overrun into the next row's segment)
+        j = jnp.arange(W, dtype=jnp.int32)
+
+        def row(_, ro):
+            o, pl = ro
+            seg = jax.lax.dynamic_slice(tight_p, (o,), (W,))
+            return None, jnp.where(j < pl, seg, jnp.uint8(0))
+
+        _, packed = jax.lax.scan(row, None, (offp, plen))
+        # mask rows derived from lengths: little-endian prefix bits,
+        # byte b = (1 << clip(n - 8b, 0, 8)) - 1  (== np.packbits of a
+        # prefix-valid row, bitorder="little")
+        b = jnp.arange(M, dtype=jnp.int32)
+        rem = jnp.clip(nlen[:, None] - 8 * b[None, :], 0, 8).astype(jnp.uint16)
+        mask = ((jnp.uint16(1) << rem) - jnp.uint16(1)).astype(jnp.uint8)
+        return packed, mask
+
+    @functools.partial(jax.jit, static_argnames=("W", "M"))
+    def masked(tight_p, offp, plen, tight_m, offm, mlen, W: int, M: int):
+        j = jnp.arange(W, dtype=jnp.int32)
+
+        def prow(_, ro):
+            o, pl = ro
+            seg = jax.lax.dynamic_slice(tight_p, (o,), (W,))
+            return None, jnp.where(j < pl, seg, jnp.uint8(0))
+
+        _, packed = jax.lax.scan(prow, None, (offp, plen))
+        jb = jnp.arange(M, dtype=jnp.int32)
+
+        def mrow(_, ro):
+            o, ml = ro
+            seg = jax.lax.dynamic_slice(tight_m, (o,), (M,))
+            return None, jnp.where(jb < ml, seg, jnp.uint8(0))
+
+        _, mask = jax.lax.scan(mrow, None, (offm, mlen))
+        return packed, mask
+
+    return derived, masked
 
 
 class StagedContigs:
@@ -56,19 +139,89 @@ class StagedContigs:
         self.groups, self.fixed_rows = plan_query_groups(
             [len(s) for s in seqs], batch_pad, min_len
         )
+        tight = os.environ.get("HYMET_TIGHT_UPLOAD", "1") == "1"
         self.device: List[Tuple] = []
         total = 0
+        if tight:
+            derived_fn, masked_fn = _repack_fns()
         for group in self.groups:
-            batch = build_group_batch(
-                seqs, group, batch_pad, min_len, self.fixed_rows
+            if not tight:
+                batch = build_group_batch(
+                    seqs, group, batch_pad, min_len, self.fixed_rows
+                )
+                packed, mask, L = pack_code_batch(batch)
+                total += packed.nbytes + mask.nbytes
+                # jnp.asarray enqueues an async upload to the default device
+                self.device.append(
+                    (jnp.asarray(packed), jnp.asarray(mask), batch.shape[0], L)
+                )
+                continue
+            dev, nbytes = self._stage_tight(
+                jnp, derived_fn, masked_fn, seqs, group
             )
-            packed, mask, L = pack_code_batch(batch)
-            total += packed.nbytes + mask.nbytes
-            # jnp.asarray enqueues an async upload to the default device
-            self.device.append(
-                (jnp.asarray(packed), jnp.asarray(mask), batch.shape[0], L)
-            )
+            total += nbytes
+            self.device.append(dev)
         self.packed_bytes = total
+
+    def _stage_tight(self, jnp, derived_fn, masked_fn, seqs, group):
+        """One group via tight upload + device repack. Byte-identical to
+        the classic (build_group_batch + pack_code_batch) path."""
+        Lpad = pad_query_len(
+            max(max(len(seqs[i]) for i in group), self.min_len),
+            self.batch_pad,
+        )
+        rows = (
+            64
+            if self.fixed_rows
+            else 1 << max(0, int(np.ceil(np.log2(max(len(group), 1)))))
+        )
+        W, M = Lpad // 4, Lpad // 8
+        offp = np.zeros(rows, dtype=np.int32)
+        plen = np.zeros(rows, dtype=np.int32)
+        offm = np.zeros(rows, dtype=np.int32)
+        mlen = np.zeros(rows, dtype=np.int32)
+        nlen = np.zeros(rows, dtype=np.int32)
+        psegs: List[np.ndarray] = []
+        msegs: List[np.ndarray] = []
+        po = mo = 0
+        any_n = False
+        for row, i in enumerate(group):
+            codes = encode_seq(seqs[i])
+            if codes.size and int(codes.max()) >= 4:
+                any_n = True
+            p_i, m_i, _ = pack_code_batch(codes[None, :])
+            p_i, m_i = p_i[0], m_i[0]
+            offp[row], plen[row] = po, p_i.nbytes
+            offm[row], mlen[row] = mo, m_i.nbytes
+            nlen[row] = codes.size
+            psegs.append(p_i)
+            msegs.append(m_i)
+            po += _quantize(p_i.nbytes, _ALIGN)
+            mo += _quantize(m_i.nbytes, _ALIGN)
+        # capacity: quantized for compile stability, + one row width so
+        # the last row's W/M-wide dynamic_slice never clamps
+        TP = _quantize(po + W, _cap_quantum(po + W))
+        tight_p = np.zeros(TP, dtype=np.uint8)
+        for o, seg in zip(offp[: len(group)], psegs):
+            tight_p[o : o + seg.nbytes] = seg
+        if any_n:
+            TM = _quantize(mo + M, _cap_quantum(mo + M))
+            tight_m = np.zeros(TM, dtype=np.uint8)
+            for o, seg in zip(offm[: len(group)], msegs):
+                tight_m[o : o + seg.nbytes] = seg
+            packed, mask = masked_fn(
+                jnp.asarray(tight_p), jnp.asarray(offp), jnp.asarray(plen),
+                jnp.asarray(tight_m), jnp.asarray(offm), jnp.asarray(mlen),
+                W=W, M=M,
+            )
+            nbytes = TP + TM
+        else:
+            packed, mask = derived_fn(
+                jnp.asarray(tight_p), jnp.asarray(offp), jnp.asarray(plen),
+                jnp.asarray(nlen), W=W, M=M,
+            )
+            nbytes = TP
+        return (packed, mask, rows, Lpad), nbytes
 
     def matches(self, n_seqs: int, batch_pad: int, min_len: int) -> bool:
         return (

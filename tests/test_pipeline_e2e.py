@@ -355,3 +355,50 @@ def test_resident_aligner_cache(tmp_path, monkeypatch):
     # HYMET_RESIDENT_INDEX=0 disables
     monkeypatch.setenv("HYMET_RESIDENT_INDEX", "0")
     assert runmod._resident_aligner_get(p, cfg, _RC) is None
+
+
+def test_tight_staging_matches_classic(monkeypatch):
+    """Tight upload + device repack (round 5) must produce byte-identical
+    padded (packed, mask) buffers to the classic build_group_batch +
+    pack_code_batch path — including N-containing contigs (mask-upload
+    fallback) and empty pad rows."""
+    from hymet_tpu.pipeline.staged import StagedContigs
+
+    rng = np.random.default_rng(7)
+    seqs = []
+    for n in (137, 900, 3000, 8200, 8191, 12000, 70):
+        s = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=n)
+        seqs.append(s.tobytes())
+    # one contig with interior Ns -> that group takes the masked path
+    nseq = bytearray(seqs[2])
+    nseq[100:120] = b"N" * 20
+    seqs[2] = bytes(nseq)
+    names = [f"q{i}" for i in range(len(seqs))]
+
+    monkeypatch.setenv("HYMET_TIGHT_UPLOAD", "0")
+    classic = StagedContigs(names, seqs, batch_pad=4096, min_len=64)
+    monkeypatch.setenv("HYMET_TIGHT_UPLOAD", "1")
+    tight = StagedContigs(names, seqs, batch_pad=4096, min_len=64)
+
+    assert classic.groups == tight.groups
+    assert len(classic.device) == len(tight.device)
+    for (p1, m1, r1, l1), (p2, m2, r2, l2) in zip(classic.device, tight.device):
+        assert (r1, l1) == (r2, l2)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+    # at scale (64-row fixed groups, padded rows), tight must ship fewer
+    # bytes than the padded layout (the whole point of the repack)
+    big = [
+        rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=int(n)).tobytes()
+        for n in rng.integers(2_000, 12_000, size=96)
+    ]
+    bnames = [f"b{i}" for i in range(len(big))]
+    monkeypatch.setenv("HYMET_TIGHT_UPLOAD", "0")
+    classic_big = StagedContigs(bnames, big, batch_pad=16384, min_len=64)
+    monkeypatch.setenv("HYMET_TIGHT_UPLOAD", "1")
+    tight_big = StagedContigs(bnames, big, batch_pad=16384, min_len=64)
+    for (p1, m1, *_), (p2, m2, *_) in zip(classic_big.device, tight_big.device):
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    assert tight_big.packed_bytes < classic_big.packed_bytes
