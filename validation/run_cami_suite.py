@@ -276,6 +276,11 @@ def main() -> None:
     ap.add_argument("--fresh", action="store_true")
     ap.add_argument("--samples", default="gut,marine,strainmadness")
     ap.add_argument("--skip-bench", action="store_true", help="build the world only")
+    ap.add_argument(
+        "--results-name", default="cami_suite",
+        help="subdir of validation/results to publish into "
+        "(e.g. cami_suite_tpu for the on-chip run)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -346,7 +351,7 @@ def main() -> None:
     print(f"[cami-suite] bench loop {wall:.1f}s")
 
     # ---- summarize vs the reference's committed numbers ----------------
-    results_dir = os.path.join(ROOT, "validation", "results", "cami_suite")
+    results_dir = os.path.join(ROOT, "validation", "results", args.results_name)
     os.makedirs(results_dir, exist_ok=True)
     summary_rows = []
     for entry in sorted(os.listdir(out_root)):
