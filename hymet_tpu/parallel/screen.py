@@ -21,6 +21,7 @@ import math
 
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -108,6 +109,7 @@ class ShardedScreenEngine:
             np.zeros((n_db, F), dtype=np.int32), db_shard
         )
         self.total_query_kmers = 0
+        self._kmer_parts: list = []
         self._update = self._make_update()
         self._update_packed = {}  # L -> compiled packed step
         self._score = self._make_score()
@@ -130,7 +132,7 @@ class ShardedScreenEngine:
                 P("db", None),
                 P("data", None),
             ),
-            out_specs=P("db", None),
+            out_specs=(P("db", None), P("db")),
             check_vma=False,
         )
         def step(db_hi, db_lo, db_hl, bkt2, counts, codes):
@@ -139,11 +141,17 @@ class ShardedScreenEngine:
             hi = jax.lax.all_gather(hi, "data").reshape(-1)
             lo = jax.lax.all_gather(lo, "data").reshape(-1)
             valid = jax.lax.all_gather(valid, "data").reshape(-1)
-            return _pair_search_count(
+            new_counts = _pair_search_count(
                 db_hi[0], db_lo[0], counts[0], hi, lo, valid,
                 db_hl[0], bkt2[0], self.bkt_steps,
                 pref_cap=pref_cap_sized(int(hi.size), self._survival),
             )[None, :]
+            # valid-window count on device (identical on every db shard;
+            # the host reads shard 0 at finalize) — replaces a per-call
+            # 8.4M-element host cumsum mirror that dominated the sharded
+            # path's single-chip overhead (round-5 probe)
+            n_valid = jnp.sum(valid, dtype=jnp.int32)[None]
+            return new_counts, n_valid
 
         return step
 
@@ -167,7 +175,7 @@ class ShardedScreenEngine:
                 P("data", None),
                 P("data", None),
             ),
-            out_specs=P("db", None),
+            out_specs=(P("db", None), P("db")),
             check_vma=False,
         )
         def step(db_hi, db_lo, db_hl, bkt2, counts, packed, mask):
@@ -178,11 +186,13 @@ class ShardedScreenEngine:
             hi = jax.lax.all_gather(hi, "data").reshape(-1)
             lo = jax.lax.all_gather(lo, "data").reshape(-1)
             valid = jax.lax.all_gather(valid, "data").reshape(-1)
-            return _pair_search_count(
+            new_counts = _pair_search_count(
                 db_hi[0], db_lo[0], counts[0], hi, lo, valid,
                 db_hl[0], bkt2[0], self.bkt_steps,
                 pref_cap=pref_cap_sized(int(hi.size), self._survival),
             )[None, :]
+            n_valid = jnp.sum(valid, dtype=jnp.int32)[None]
+            return new_counts, n_valid
 
         return step
 
@@ -222,19 +232,13 @@ class ShardedScreenEngine:
         codes_j = jax.device_put(
             codes, NamedSharding(self.mesh, P("data", None))
         )
-        self.counts = self._update(
+        self.counts, n_valid = self._update(
             self.db_hi, self.db_lo, self.db_hl, self.bkt2, self.counts, codes_j
         )
-        # exact valid-window count for p-values (host mirror of the
-        # kernel's validity rule)
-        k = self.db.k
-        inv = (codes >= 4).astype(np.int32)
-        csum = np.concatenate(
-            [np.zeros((codes.shape[0], 1), np.int32), np.cumsum(inv, axis=1)],
-            axis=1,
-        )
-        valid = (csum[:, k:] - csum[:, :-k]) == 0
-        self.total_query_kmers += int(valid.sum())
+        # valid-window count stays on device until finalize (identical
+        # on every db shard; read shard 0 then) — an int() here would
+        # block the host on this batch
+        self._kmer_parts.append(n_valid)
 
     def update_codes_packed(self, codes: np.ndarray) -> None:
         """update_codes shipping 2-bit packed codes + validity bits per
@@ -253,7 +257,7 @@ class ShardedScreenEngine:
         if step is None:
             step = self._update_packed[L] = self._make_update_packed(L)
         sh = NamedSharding(self.mesh, P("data", None))
-        self.counts = step(
+        self.counts, n_valid = step(
             self.db_hi,
             self.db_lo,
             self.db_hl,
@@ -262,16 +266,15 @@ class ShardedScreenEngine:
             jax.device_put(packed, sh),
             jax.device_put(mask, sh),
         )
-        k = self.db.k
-        inv = (codes >= 4).astype(np.int32)
-        csum = np.concatenate(
-            [np.zeros((codes.shape[0], 1), np.int32), np.cumsum(inv, axis=1)],
-            axis=1,
-        )
-        valid = (csum[:, k:] - csum[:, :-k]) == 0
-        self.total_query_kmers += int(valid.sum())
+        self._kmer_parts.append(n_valid)
 
     def finalize(self) -> ScreenResult:
+        if self._kmer_parts:
+            # each part is a per-db-shard [n_db] vector with identical
+            # entries; shard 0's value is the global batch count
+            parts = [np.asarray(fetch_global(p)) for p in self._kmer_parts]
+            self.total_query_kmers += sum(int(p[0]) for p in parts)
+            self._kmer_parts = []
         ident, shared, median = self._score(
             self.counts, self.ref_idx, self.n_hashes
         )
