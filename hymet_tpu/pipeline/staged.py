@@ -72,18 +72,24 @@ def _repack_fns():
     import jax
     import jax.numpy as jnp
 
+    def _expand(tight, off, rlen, width):
+        """[rows, width] padded rows from per-row tight segments via a
+        CHUNK-ROW gather: the tight buffer reshapes to [T/ALIGN, ALIGN]
+        and each padded row gathers width/ALIGN consecutive chunk rows —
+        the v5e's fast gather shape (~85M rows/s for contiguous rows, vs
+        ~16M scalar elem/s; a lax.scan of per-row dynamic-slices cost
+        ~1.2 s/run in the first cut of this path). Bytes past the row's
+        own segment zero out elementwise."""
+        rows = off.shape[0]
+        chunks = tight.reshape(-1, _ALIGN)
+        idx = off[:, None] // _ALIGN + jnp.arange(width // _ALIGN)[None, :]
+        out = chunks[idx].reshape(rows, width)
+        j = jnp.arange(width, dtype=jnp.int32)
+        return jnp.where(j[None, :] < rlen[:, None], out, jnp.uint8(0))
+
     @functools.partial(jax.jit, static_argnames=("W", "M"))
     def derived(tight_p, offp, plen, nlen, W: int, M: int):
-        # packed rows: one contiguous DMA slice per row, zero past the
-        # row's own bytes (slices may overrun into the next row's segment)
-        j = jnp.arange(W, dtype=jnp.int32)
-
-        def row(_, ro):
-            o, pl = ro
-            seg = jax.lax.dynamic_slice(tight_p, (o,), (W,))
-            return None, jnp.where(j < pl, seg, jnp.uint8(0))
-
-        _, packed = jax.lax.scan(row, None, (offp, plen))
+        packed = _expand(tight_p, offp, plen, W)
         # mask rows derived from lengths: little-endian prefix bits,
         # byte b = (1 << clip(n - 8b, 0, 8)) - 1  (== np.packbits of a
         # prefix-valid row, bitorder="little")
@@ -94,22 +100,8 @@ def _repack_fns():
 
     @functools.partial(jax.jit, static_argnames=("W", "M"))
     def masked(tight_p, offp, plen, tight_m, offm, mlen, W: int, M: int):
-        j = jnp.arange(W, dtype=jnp.int32)
-
-        def prow(_, ro):
-            o, pl = ro
-            seg = jax.lax.dynamic_slice(tight_p, (o,), (W,))
-            return None, jnp.where(j < pl, seg, jnp.uint8(0))
-
-        _, packed = jax.lax.scan(prow, None, (offp, plen))
-        jb = jnp.arange(M, dtype=jnp.int32)
-
-        def mrow(_, ro):
-            o, ml = ro
-            seg = jax.lax.dynamic_slice(tight_m, (o,), (M,))
-            return None, jnp.where(jb < ml, seg, jnp.uint8(0))
-
-        _, mask = jax.lax.scan(mrow, None, (offm, mlen))
+        packed = _expand(tight_p, offp, plen, W)
+        mask = _expand(tight_m, offm, mlen, M)
         return packed, mask
 
     return derived, masked
@@ -176,6 +168,19 @@ class StagedContigs:
             else 1 << max(0, int(np.ceil(np.log2(max(len(group), 1)))))
         )
         W, M = Lpad // 4, Lpad // 8
+        if W % _ALIGN or M % _ALIGN:
+            # chunk-row gather needs row widths on the alignment grid
+            # (true for every real batch_pad >= 1024); classic path else
+            import jax.numpy as jnp
+
+            batch = build_group_batch(
+                seqs, group, self.batch_pad, self.min_len, self.fixed_rows
+            )
+            packed, mask, L = pack_code_batch(batch)
+            return (
+                (jnp.asarray(packed), jnp.asarray(mask), batch.shape[0], L),
+                packed.nbytes + mask.nbytes,
+            )
         offp = np.zeros(rows, dtype=np.int32)
         plen = np.zeros(rows, dtype=np.int32)
         offm = np.zeros(rows, dtype=np.int32)
