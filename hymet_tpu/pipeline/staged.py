@@ -88,23 +88,21 @@ def _repack_fns():
         return jnp.where(j[None, :] < rlen[:, None], out, jnp.uint8(0))
 
     @functools.partial(jax.jit, static_argnames=("W", "M"))
-    def derived(tight_p, offp, plen, nlen, W: int, M: int):
+    def repack(tight_p, offp, plen, tight_m, offm, mlen, nlen, W: int, M: int):
         packed = _expand(tight_p, offp, plen, W)
-        # mask rows derived from lengths: little-endian prefix bits,
-        # byte b = (1 << clip(n - 8b, 0, 8)) - 1  (== np.packbits of a
-        # prefix-valid row, bitorder="little")
+        # mask: rows WITHOUT ambiguous bases derive their prefix bitmask
+        # from the contig length on device (zero upload bytes) —
+        # little-endian prefix bits, byte b = (1 << clip(n-8b, 0, 8)) - 1
+        # (== np.packbits of a prefix-valid row, bitorder="little");
+        # rows WITH N codes (mlen > 0) gather their uploaded segments
         b = jnp.arange(M, dtype=jnp.int32)
         rem = jnp.clip(nlen[:, None] - 8 * b[None, :], 0, 8).astype(jnp.uint16)
-        mask = ((jnp.uint16(1) << rem) - jnp.uint16(1)).astype(jnp.uint8)
+        dmask = ((jnp.uint16(1) << rem) - jnp.uint16(1)).astype(jnp.uint8)
+        gmask = _expand(tight_m, offm, mlen, M)
+        mask = jnp.where((mlen > 0)[:, None], gmask, dmask)
         return packed, mask
 
-    @functools.partial(jax.jit, static_argnames=("W", "M"))
-    def masked(tight_p, offp, plen, tight_m, offm, mlen, W: int, M: int):
-        packed = _expand(tight_p, offp, plen, W)
-        mask = _expand(tight_m, offm, mlen, M)
-        return packed, mask
-
-    return derived, masked
+    return repack
 
 
 class StagedContigs:
@@ -134,8 +132,7 @@ class StagedContigs:
         tight = os.environ.get("HYMET_TIGHT_UPLOAD", "1") == "1"
         self.device: List[Tuple] = []
         total = 0
-        if tight:
-            derived_fn, masked_fn = _repack_fns()
+        repack_fn = _repack_fns() if tight else None
         for group in self.groups:
             if not tight:
                 batch = build_group_batch(
@@ -148,14 +145,12 @@ class StagedContigs:
                     (jnp.asarray(packed), jnp.asarray(mask), batch.shape[0], L)
                 )
                 continue
-            dev, nbytes = self._stage_tight(
-                jnp, derived_fn, masked_fn, seqs, group
-            )
+            dev, nbytes = self._stage_tight(jnp, repack_fn, seqs, group)
             total += nbytes
             self.device.append(dev)
         self.packed_bytes = total
 
-    def _stage_tight(self, jnp, derived_fn, masked_fn, seqs, group):
+    def _stage_tight(self, jnp, repack_fn, seqs, group):
         """One group via tight upload + device repack. Byte-identical to
         the classic (build_group_batch + pack_code_batch) path."""
         Lpad = pad_query_len(
@@ -187,46 +182,38 @@ class StagedContigs:
         mlen = np.zeros(rows, dtype=np.int32)
         nlen = np.zeros(rows, dtype=np.int32)
         psegs: List[np.ndarray] = []
-        msegs: List[np.ndarray] = []
+        msegs: List[Tuple[int, np.ndarray]] = []
         po = mo = 0
-        any_n = False
         for row, i in enumerate(group):
             codes = encode_seq(seqs[i])
-            if codes.size and int(codes.max()) >= 4:
-                any_n = True
             p_i, m_i, _ = pack_code_batch(codes[None, :])
             p_i, m_i = p_i[0], m_i[0]
             offp[row], plen[row] = po, p_i.nbytes
-            offm[row], mlen[row] = mo, m_i.nbytes
             nlen[row] = codes.size
             psegs.append(p_i)
-            msegs.append(m_i)
             po += _quantize(p_i.nbytes, _ALIGN)
-            mo += _quantize(m_i.nbytes, _ALIGN)
+            # mask segments ship ONLY for rows with ambiguous bases —
+            # every other row's prefix mask derives from nlen on device
+            if codes.size and int(codes.max()) >= 4:
+                offm[row], mlen[row] = mo, m_i.nbytes
+                msegs.append((mo, m_i))
+                mo += _quantize(m_i.nbytes, _ALIGN)
         # capacity: quantized for compile stability, + one row width so
-        # the last row's W/M-wide dynamic_slice never clamps
+        # the last row's chunk gather never reads past the buffer
         TP = _quantize(po + W, _cap_quantum(po + W))
         tight_p = np.zeros(TP, dtype=np.uint8)
         for o, seg in zip(offp[: len(group)], psegs):
             tight_p[o : o + seg.nbytes] = seg
-        if any_n:
-            TM = _quantize(mo + M, _cap_quantum(mo + M))
-            tight_m = np.zeros(TM, dtype=np.uint8)
-            for o, seg in zip(offm[: len(group)], msegs):
-                tight_m[o : o + seg.nbytes] = seg
-            packed, mask = masked_fn(
-                jnp.asarray(tight_p), jnp.asarray(offp), jnp.asarray(plen),
-                jnp.asarray(tight_m), jnp.asarray(offm), jnp.asarray(mlen),
-                W=W, M=M,
-            )
-            nbytes = TP + TM
-        else:
-            packed, mask = derived_fn(
-                jnp.asarray(tight_p), jnp.asarray(offp), jnp.asarray(plen),
-                jnp.asarray(nlen), W=W, M=M,
-            )
-            nbytes = TP
-        return (packed, mask, rows, Lpad), nbytes
+        TM = _quantize(mo + M, _cap_quantum(max(mo, 1)))
+        tight_m = np.zeros(TM, dtype=np.uint8)
+        for o, seg in msegs:
+            tight_m[o : o + seg.nbytes] = seg
+        packed, mask = repack_fn(
+            jnp.asarray(tight_p), jnp.asarray(offp), jnp.asarray(plen),
+            jnp.asarray(tight_m), jnp.asarray(offm), jnp.asarray(mlen),
+            jnp.asarray(nlen), W=W, M=M,
+        )
+        return (packed, mask, rows, Lpad), TP + TM
 
     def matches(self, n_seqs: int, batch_pad: int, min_len: int) -> bool:
         return (
