@@ -17,8 +17,8 @@ s.connect(("127.0.0.1", 8083))
 PYEOF
 }
 past_end() { [ "$(date +%s)" -ge "$HARD_END_TS" ]; }
-until grep -q "queue r5d complete" validation/results/bench_queue_r5d/queue.log 2>/dev/null; do
-  past_end && { echo "r5e abandoned: r5d never completed" | tee -a "$OUT/queue.log"; exit 1; }
+until grep -q "queue r5f complete" validation/results/bench_queue_r5f/queue.log 2>/dev/null; do
+  past_end && { echo "r5e abandoned: r5f never completed" | tee -a "$OUT/queue.log"; exit 1; }
   sleep 60
 done
 if [ ! -s "$OUT/cami_suite_tpu.log" ]; then
