@@ -293,10 +293,22 @@ def pad_query_len(length: int, quantum: int) -> int:
     compile (minutes each on the dev tunnel), and linear 64k buckets gave
     long-contig samples ~one program per bucket (36 compiles observed on
     a 0.8 Mbp-contig world); geometric buckets cap the inventory at
-    ~log2(max contig) programs for <=2x padding waste."""
+    ~log2(max contig) programs for <=2x padding waste.
+
+    HYMET_PAD_MID=1 adds the 3*2^k midpoints to the geometric series
+    (<=1.33x padding waste for ~2x the program inventory): the device
+    aligns PADDED bases, so an X-Mbp-padded sample costs X/13.5 s of
+    map time regardless of real content (round-5 attribution) — on the
+    bench sample midpoints cut staged bases 159.4 -> 146.8 Mbp (-8%)
+    for exactly one extra compiled shape."""
     pad = -(-max(length, 1) // quantum) * quantum
     if pad > 2 * quantum:
-        return 1 << int(np.ceil(np.log2(pad)))
+        p2 = 1 << int(np.ceil(np.log2(pad)))
+        if os.environ.get("HYMET_PAD_MID", "0") == "1":
+            mid = 3 * p2 // 4
+            if pad <= mid:
+                return mid
+        return p2
     return pad
 
 
@@ -1405,6 +1417,10 @@ class MinimizerAligner:
         self._cap_boost = 1
         self._acap_boost = 1
         self._ccap_boost = 1
+        # finish-leg attribution accumulators (host timers; logged by
+        # map_batch): device-wait, chain-row transfer, host row build
+        self._t_wait = self._t_fetch = self._t_rows = 0.0
+        self._n_chain_rows = 0
         self._fb_cache: dict = {}  # padded L -> flat-band tables (or None)
         self._exp_occ = expected_anchor_occ(index.hashes, self.cfg.max_occ)
         self._seen_shapes: set = set()  # (rows, pad) buckets already logged
@@ -1505,9 +1521,14 @@ class MinimizerAligner:
                     per_query[group[ch.qid]].append(ch)
         logger.info(
             "[align] legs: stage(build+upload)=%.2fs finish(fetch+host)=%.2fs"
-            " staged=%s", t_stage, t_finish, use_staged,
+            " staged=%s [wait=%.2fs fetch=%.2fs rows=%.2fs n_rows=%d]",
+            t_stage, t_finish, use_staged,
+            self._t_wait, self._t_fetch, self._t_rows, self._n_chain_rows,
         )
+        self._t_wait = self._t_fetch = self._t_rows = 0.0
+        self._n_chain_rows = 0
 
+        t0 = time.perf_counter()
         for i, name in enumerate(names):
             records.extend(
                 emit_paf(
@@ -1520,6 +1541,7 @@ class MinimizerAligner:
                     self.cfg,
                 )
             )
+        logger.info("[align] emit_paf %.2fs", time.perf_counter() - t0)
         return records
 
     # ------------------------------------------------------------------
@@ -1818,9 +1840,13 @@ class MinimizerAligner:
 
         while True:
             chains, n_chains, n_kept, n_anchors = outs
+            t0 = time.perf_counter()
             n_chains_i, n_kept_i, n_anchors_i = map(
                 int, jax.device_get((n_chains, n_kept, n_anchors))
             )
+            # the scalar round trip blocks until the group's program
+            # completes: this leg IS the device-compute wait
+            self._t_wait += time.perf_counter() - t0
             if n_kept_i > cap:
                 # low-complexity sequence beat the density estimate
                 logger.info(
@@ -1854,7 +1880,14 @@ class MinimizerAligner:
                 return self._finish_batch(host_pending)
         if n_chains_i == 0:
             return []
-        return _chains_from_rows(np.asarray(chains[:n_chains_i]), k)
+        t0 = time.perf_counter()
+        rows = np.asarray(chains[:n_chains_i])
+        self._t_fetch += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = _chains_from_rows(rows, k)
+        self._t_rows += time.perf_counter() - t0
+        self._n_chain_rows += n_chains_i
+        return out
 
 
 def chains_from_sorted_anchors(

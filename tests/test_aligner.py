@@ -698,3 +698,36 @@ def test_compile_service_failure_falls_back_to_host_chains(monkeypatch):
     aln3 = MinimizerAligner(index, AlignerConfig(batch_pad=1 << 13))
     assert aln3._dev_broken == aln._dev_broken
     assert aln3.map_batch(names, seqs) == want
+
+
+def test_pad_mid_buckets_same_records(monkeypatch):
+    """HYMET_PAD_MID=1 (3*2^k midpoint pad buckets) must not change any
+    mapping output — padding is shape-only. Query lengths straddle the
+    pow2-vs-midpoint boundary (pad 16384 vs 12288 at quantum 4096)."""
+    rng = np.random.default_rng(11)
+    genomes = [("ref%d" % i, _rand_seq(rng, 30000)) for i in range(3)]
+    idx = MinimizerIndex.build(genomes)
+    queries = []
+    for i, ln in enumerate((2900, 5200, 9000, 11000, 13000)):
+        src = genomes[i % 3][1]
+        queries.append(("q%d" % i, _mutate(rng, src[200 : 200 + ln], 0.02)))
+    names = [n for n, _ in queries]
+    seqs = [s for _, s in queries]
+
+    cfg = AlignerConfig(batch_pad=4096)
+    monkeypatch.delenv("HYMET_PAD_MID", raising=False)
+    rec0 = MinimizerAligner(idx, cfg).map_batch(names, seqs)
+    monkeypatch.setenv("HYMET_PAD_MID", "1")
+    rec1 = MinimizerAligner(idx, cfg).map_batch(names, seqs)
+
+    from hymet_tpu.models.aligner import pad_query_len
+    assert pad_query_len(9000, 4096) == 12288  # midpoint engaged
+    assert pad_query_len(13000, 4096) == 16384  # midpoint too small, pow2
+    monkeypatch.delenv("HYMET_PAD_MID", raising=False)
+    assert pad_query_len(9000, 4096) == 16384
+
+    as_tuples = lambda rs: [  # noqa: E731
+        (r.qname, r.tname, r.qstart, r.qend, r.tstart, r.tend, r.nmatch,
+         r.blocklen, r.strand) for r in rs
+    ]
+    assert as_tuples(rec0) == as_tuples(rec1)
