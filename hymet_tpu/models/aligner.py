@@ -295,16 +295,17 @@ def pad_query_len(length: int, quantum: int) -> int:
     a 0.8 Mbp-contig world); geometric buckets cap the inventory at
     ~log2(max contig) programs for <=2x padding waste.
 
-    HYMET_PAD_MID=1 adds the 3*2^k midpoints to the geometric series
-    (<=1.33x padding waste for ~2x the program inventory): the device
-    aligns PADDED bases, so an X-Mbp-padded sample costs X/13.5 s of
-    map time regardless of real content (round-5 attribution) — on the
-    bench sample midpoints cut staged bases 159.4 -> 146.8 Mbp (-8%)
-    for exactly one extra compiled shape."""
+    The 3*2^k midpoints in the geometric series are ON by default
+    (HYMET_PAD_MID=0 restores pure powers of two): the device aligns
+    PADDED bases, so an X-Mbp-padded sample costs X/13.5 s of map time
+    regardless of real content (round-5 attribution). <=1.33x padding
+    waste for ~2x the program inventory; on the bench sample midpoints
+    cut staged bases 159.4 -> 146.8 Mbp (-8%) for exactly one extra
+    compiled shape — e2e 61.2 -> 64.6 contigs/s (r5h A/B, gate 100%)."""
     pad = -(-max(length, 1) // quantum) * quantum
     if pad > 2 * quantum:
         p2 = 1 << int(np.ceil(np.log2(pad)))
-        if os.environ.get("HYMET_PAD_MID", "0") == "1":
+        if os.environ.get("HYMET_PAD_MID", "1") == "1":
             mid = 3 * p2 // 4
             if pad <= mid:
                 return mid

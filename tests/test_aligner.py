@@ -715,15 +715,15 @@ def test_pad_mid_buckets_same_records(monkeypatch):
     seqs = [s for _, s in queries]
 
     cfg = AlignerConfig(batch_pad=4096)
-    monkeypatch.delenv("HYMET_PAD_MID", raising=False)
+    monkeypatch.setenv("HYMET_PAD_MID", "0")
     rec0 = MinimizerAligner(idx, cfg).map_batch(names, seqs)
     monkeypatch.setenv("HYMET_PAD_MID", "1")
     rec1 = MinimizerAligner(idx, cfg).map_batch(names, seqs)
 
     from hymet_tpu.models.aligner import pad_query_len
-    assert pad_query_len(9000, 4096) == 12288  # midpoint engaged
+    assert pad_query_len(9000, 4096) == 12288  # midpoint engaged (default)
     assert pad_query_len(13000, 4096) == 16384  # midpoint too small, pow2
-    monkeypatch.delenv("HYMET_PAD_MID", raising=False)
+    monkeypatch.setenv("HYMET_PAD_MID", "0")
     assert pad_query_len(9000, 4096) == 16384
 
     as_tuples = lambda rs: [  # noqa: E731
