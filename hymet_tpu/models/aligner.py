@@ -343,6 +343,21 @@ def plan_query_groups(
     return groups, fixed_rows
 
 
+def group_rows(n: int, fixed_rows: bool) -> int:
+    """Padded row count for an n-query group. Full groups stay at 64;
+    with HYMET_ROW_POW2=1 a PARTIAL trailing group pads to the next
+    power of two (>=16) instead — the device maps padded rows like real
+    ones, and the bench sample carries 142 empty rows (~12% of padded
+    bases) across its 18 groups at fixed 64. Each extra (rows, pad)
+    shape is one more compile; >=16 bounds the inventory at 3 row
+    variants per pad bucket."""
+    if not fixed_rows:
+        return 1 << max(0, int(np.ceil(np.log2(max(n, 1)))))
+    if os.environ.get("HYMET_ROW_POW2", "0") == "1":
+        return min(64, max(16, 1 << int(np.ceil(np.log2(max(n, 1))))))
+    return 64
+
+
 def build_group_batch(
     seqs: Sequence[bytes],
     group: Sequence[int],
@@ -356,11 +371,7 @@ def build_group_batch(
     )
     # fixed row counts (powers of two) keep one compile per (rows, pad)
     # shape instead of one per exact group size
-    rows_pad = (
-        64
-        if fixed_rows
-        else 1 << max(0, int(np.ceil(np.log2(max(len(group), 1)))))
-    )
+    rows_pad = group_rows(len(group), fixed_rows)
     batch = np.full((rows_pad, pad), 4, dtype=np.uint8)
     for row, i in enumerate(group):
         codes = encode_seq(seqs[i])

@@ -47,6 +47,7 @@ import numpy as np
 from hymet_tpu.io.fasta import encode_seq, pack_code_batch
 from hymet_tpu.models.aligner import (
     build_group_batch,
+    group_rows,
     pad_query_len,
     plan_query_groups,
 )
@@ -157,11 +158,7 @@ class StagedContigs:
             max(max(len(seqs[i]) for i in group), self.min_len),
             self.batch_pad,
         )
-        rows = (
-            64
-            if self.fixed_rows
-            else 1 << max(0, int(np.ceil(np.log2(max(len(group), 1)))))
-        )
+        rows = group_rows(len(group), self.fixed_rows)
         W, M = Lpad // 4, Lpad // 8
         if W % _ALIGN or M % _ALIGN:
             # chunk-row gather needs row widths on the alignment grid

@@ -731,3 +731,35 @@ def test_pad_mid_buckets_same_records(monkeypatch):
          r.blocklen, r.strand) for r in rs
     ]
     assert as_tuples(rec0) == as_tuples(rec1)
+
+
+def test_row_pow2_partial_groups_same_records(monkeypatch):
+    """HYMET_ROW_POW2=1 (pow2 row counts for partial trailing groups)
+    must not change mapping output — row padding is shape-only. 70
+    same-pad queries => one full 64-row group + a 6-query partial that
+    pads to 16 rows instead of 64."""
+    rng = np.random.default_rng(23)
+    genomes = [("r%d" % i, _rand_seq(rng, 24000)) for i in range(3)]
+    idx = MinimizerIndex.build(genomes)
+    names, seqs = [], []
+    for i in range(70):
+        src = genomes[i % 3][1]
+        names.append("q%d" % i)
+        seqs.append(_mutate(rng, src[100 : 100 + 3500], 0.02))
+
+    from hymet_tpu.models.aligner import group_rows
+    cfg = AlignerConfig(batch_pad=4096)
+    monkeypatch.setenv("HYMET_ROW_POW2", "0")
+    assert group_rows(6, True) == 64
+    rec0 = MinimizerAligner(idx, cfg).map_batch(names, seqs)
+    monkeypatch.setenv("HYMET_ROW_POW2", "1")
+    assert group_rows(6, True) == 16
+    assert group_rows(64, True) == 64
+    assert group_rows(33, True) == 64
+    rec1 = MinimizerAligner(idx, cfg).map_batch(names, seqs)
+
+    as_tuples = lambda rs: [  # noqa: E731
+        (r.qname, r.tname, r.qstart, r.qend, r.tstart, r.tend, r.nmatch,
+         r.blocklen, r.strand) for r in rs
+    ]
+    assert as_tuples(rec0) == as_tuples(rec1)
