@@ -753,7 +753,7 @@ def test_row_pow2_partial_groups_same_records(monkeypatch):
     assert group_rows(6, True) == 64
     rec0 = MinimizerAligner(idx, cfg).map_batch(names, seqs)
     monkeypatch.setenv("HYMET_ROW_POW2", "1")
-    assert group_rows(6, True) == 16
+    assert group_rows(6, True) == 16  # the default
     assert group_rows(64, True) == 64
     assert group_rows(33, True) == 64
     rec1 = MinimizerAligner(idx, cfg).map_batch(names, seqs)
