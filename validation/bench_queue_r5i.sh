@@ -1,7 +1,7 @@
 #!/bin/bash
-# Round-5h queue: midpoint pad buckets A/B (HYMET_ROW_POW2=1 banks the
-# rows collect shapes for trailing groups). If it wins, the default
-# mostly shared). If the A/B wins, the default flips and e2e_rowp_final
+# Round-5i queue: pow2 partial-group row counts A/B (HYMET_ROW_POW2=1
+# banks the small-rows collect shapes for trailing groups). Outcome:
+# 72.33 contigs/s = 13.02x, gate 100%; default flipped ON afterwards.
 
 set -u
 cd /root/repo
